@@ -1,0 +1,201 @@
+"""Geometry as Spark Column expressions — the scalar-function library of the
+document domain.
+
+Re-expresses the semantics of the reference's PolygonBox methods
+(/root/reference/surya/common/polygon.py:40-198) and bbox utils
+(/root/reference/surya/common/util.py:9-62) as JVM-side, codegen-friendly
+column expressions. No Python executes per row: every function here returns
+a Column built from pyspark.sql.functions.
+
+Conventions: a bbox is four Double columns (x1, y1, x2, y2); a polygon is
+array<array<double>> of 4 clockwise corners. Prefer the flat bbox columns in
+predicates (pushdown + codegen); keep polygons only where corner-accurate
+geometry matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- polygon ops
+def poly_bbox(poly: Column) -> list[Column]:
+    """[min_x, min_y, max_x, max_y] over the 4 corners.
+    Ref semantics: surya/common/polygon.py:52-57."""
+    xs = F.transform(poly, lambda c: c[0])
+    ys = F.transform(poly, lambda c: c[1])
+    return [
+        F.array_min(xs).alias("x1"),
+        F.array_min(ys).alias("y1"),
+        F.array_max(xs).alias("x2"),
+        F.array_max(ys).alias("y2"),
+    ]
+
+
+def poly_rescale(poly: Column, sx: Column | float, sy: Column | float) -> Column:
+    """Scale corners by (sx, sy), truncating toward zero like Python int().
+    Ref: surya/common/polygon.py:59-69 (int() truncation is part of the
+    span-equality contract — do not use floor, which differs on negatives)."""
+    sx, sy = F.lit(sx), F.lit(sy)
+    return F.transform(
+        poly,
+        lambda c: F.array(
+            (c[0] * sx).cast("long").cast("double"),
+            (c[1] * sy).cast("long").cast("double"),
+        ),
+    )
+
+
+def poly_clamp(poly: Column, x_max: Column, y_max: Column) -> Column:
+    """Clip corners into [0, x_max] × [0, y_max].
+    Ref: surya/common/polygon.py:76-81,183-186."""
+    return F.transform(
+        poly,
+        lambda c: F.array(
+            F.greatest(F.lit(0.0), F.least(c[0], x_max.cast("double"))),
+            F.greatest(F.lit(0.0), F.least(c[1], y_max.cast("double"))),
+        ),
+    )
+
+
+def poly_shift(poly: Column, dx: Column | float, dy: Column | float) -> Column:
+    """Translate. Ref: surya/common/polygon.py:175-181."""
+    return F.transform(poly, lambda c: F.array(c[0] + F.lit(dx), c[1] + F.lit(dy)))
+
+
+def bbox_to_poly(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
+    """Axis-aligned clockwise polygon from bbox corners."""
+    return F.array(
+        F.array(x1, y1), F.array(x2, y1), F.array(x2, y2), F.array(x1, y2)
+    )
+
+
+# ---------------------------------------------------------------- bbox scalar
+def width(x1: Column, x2: Column) -> Column:
+    return x2 - x1
+
+
+def height(y1: Column, y2: Column) -> Column:
+    return y2 - y1
+
+
+def area(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
+    """Ref: surya/common/polygon.py:188-190."""
+    return (x2 - x1) * (y2 - y1)
+
+
+def center_x(x1: Column, x2: Column) -> Column:
+    return (x1 + x2) / 2.0
+
+
+def center_y(y1: Column, y2: Column) -> Column:
+    return (y1 + y2) / 2.0
+
+
+def distance(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2) -> Column:
+    """Euclidean center distance. Ref: surya/common/polygon.py:192-198."""
+    dx = center_x(ax1, ax2) - center_x(bx1, bx2)
+    dy = center_y(ay1, ay2) - center_y(by1, by2)
+    return F.sqrt(dx * dx + dy * dy)
+
+
+# ------------------------------------------------------------- overlap algebra
+def x_overlap(ax1, ax2, bx1, bx2, margin: float = 0.0) -> Column:
+    """1-D overlap length with optional margin.
+    Ref: surya/common/polygon.py:142-151 — the core theta-join predicate."""
+    m = F.lit(margin)
+    return F.greatest(
+        F.lit(0.0), F.least(ax2 + m, bx2 + m) - F.greatest(ax1 - m, bx1 - m)
+    )
+
+
+def y_overlap(ay1, ay2, by1, by2, margin: float = 0.0) -> Column:
+    return x_overlap(ay1, ay2, by1, by2, margin)
+
+
+def intersection_area(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2,
+                      x_margin: float = 0.0, y_margin: float = 0.0) -> Column:
+    """Ref: surya/common/polygon.py:153-160."""
+    return x_overlap(ax1, ax2, bx1, bx2, x_margin) * y_overlap(
+        ay1, ay2, by1, by2, y_margin
+    )
+
+
+def intersection_pct(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2,
+                     x_margin: float = 0.0, y_margin: float = 0.0) -> Column:
+    """Fraction of box A covered by box B (0 when A has zero area).
+    Ref: surya/common/polygon.py:162-173."""
+    a = area(ax1, ay1, ax2, ay2)
+    inter = intersection_area(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2,
+                              x_margin, y_margin)
+    return F.when(a > 0, inter / a).otherwise(F.lit(0.0))
+
+
+def iou(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2) -> Column:
+    inter = intersection_area(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)
+    union = area(ax1, ay1, ax2, ay2) + area(bx1, by1, bx2, by2) - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def contains(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2) -> Column:
+    """True when box B fully contains box A (the clean_boxes predicate).
+    Ref: surya/common/util.py:9-36."""
+    return (bx1 <= ax1) & (by1 <= ay1) & (bx2 >= ax2) & (by2 >= ay2)
+
+
+# ------------------------------------------------------------- bbox rewrites
+def merge_bbox(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2) -> list[Column]:
+    """Axis-aligned union. Ref: surya/common/polygon.py:83-88."""
+    return [
+        F.least(ax1, bx1).alias("x1"),
+        F.least(ay1, by1).alias("y1"),
+        F.greatest(ax2, bx2).alias("x2"),
+        F.greatest(ay2, by2).alias("y2"),
+    ]
+
+
+def intersect_bbox(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2) -> list[Column]:
+    """Axis-aligned intersection (cornerwise max/min) — used for the table
+    cell = row ∩ col grid. Ref: surya/common/polygon.py:115-140."""
+    return [
+        F.greatest(ax1, bx1).alias("x1"),
+        F.greatest(ay1, by1).alias("y1"),
+        F.least(ax2, bx2).alias("x2"),
+        F.least(ay2, by2).alias("y2"),
+    ]
+
+
+def expand_bbox(x1, y1, x2, y2, x_pct: float, y_pct: float) -> list[Column]:
+    """Inflate by a percentage of width/height.
+    Ref: surya/common/polygon.py:100-113, surya/common/util.py:54-62."""
+    dx = (x2 - x1) * F.lit(x_pct)
+    dy = (y2 - y1) * F.lit(y_pct)
+    return [
+        (x1 - dx).alias("x1"),
+        (y1 - dy).alias("y1"),
+        (x2 + dx).alias("x2"),
+        (y2 + dy).alias("y2"),
+    ]
+
+
+def clamp_bbox(x1, y1, x2, y2, x_max: Column, y_max: Column) -> list[Column]:
+    z = F.lit(0.0)
+    return [
+        F.greatest(z, F.least(x1, x_max.cast("double"))).alias("x1"),
+        F.greatest(z, F.least(y1, y_max.cast("double"))).alias("y1"),
+        F.greatest(z, F.least(x2, x_max.cast("double"))).alias("x2"),
+        F.greatest(z, F.least(y2, y_max.cast("double"))).alias("y2"),
+    ]
+
+
+def round_to_divisor(v: Column, divisor: float) -> Column:
+    """Snap to grid. Ref: surya/common/polygon.py:71-74."""
+    return (v / F.lit(divisor)).cast("long").cast("double") * F.lit(divisor)
+
+
+def y_band(y1: Column, band: float) -> Column:
+    """Reading-order band id: lines within one band read left→right.
+    Ref: sort_text_lines rounds y to a tolerance
+    (surya/recognition/util.py:72-97)."""
+    return F.floor(y1 / F.lit(band))

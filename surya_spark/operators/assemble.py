@@ -1,0 +1,129 @@
+"""Span re-assembly: stage tables → out_spans(doc_id, spans) satisfying the
+per-row invariant (kind, text, media_ref, order).
+
+Replaces the reference's slice_map / table_counts offset bookkeeping
+(/root/reference/surya/recognition/__init__.py:176,880-885,
+ /root/reference/surya/scripts/table_recognition.py:62,79-96) with keyed
+joins: every item carries (doc_id, span offset, sub_order) and the final
+order is one window — no positional arithmetic anywhere.
+
+Contract per input span, in offset order:
+  kind='text'  → passes through unchanged (already-extracted content is
+                 preserved, mirroring original_text_good=True passthrough at
+                 /root/reference/surya/recognition/__init__.py:889-899)
+  kind='image' → passes through (opaque figure media)
+  kind='page'  → one 'text' span per OCR line in reading order
+  kind='table' → 'text' spans for lines outside the table grid, then one
+                 'cell' span per grid cell in row-major order
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def explode_spans(documents: DataFrame) -> DataFrame:
+    return documents.select(
+        "doc_id",
+        F.explode("spans").alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+def media_spans(span_rows: DataFrame) -> DataFrame:
+    return span_rows.filter(F.col("kind").isin("page", "table", "image"))
+
+
+def free_lines(ocr_lines: DataFrame, cells: DataFrame | None) -> DataFrame:
+    """OCR lines not claimed by any table cell (center-containment anti-join)."""
+    if cells is None:
+        return ocr_lines
+    ln = ocr_lines.alias("l")
+    cl = cells.alias("c")
+    lcx = (F.col("l.x1") + F.col("l.x2")) / 2
+    lcy = (F.col("l.y1") + F.col("l.y2")) / 2
+    pred = (
+        (F.col("l.media_ref") == F.col("c.media_ref"))
+        & (lcx >= F.col("c.x1")) & (lcx < F.col("c.x2"))
+        & (lcy >= F.col("c.y1")) & (lcy < F.col("c.y2"))
+    )
+    return ln.join(cl, on=pred, how="left_anti")
+
+
+def assemble_spans(documents: DataFrame, ocr_lines: DataFrame,
+                   cells: DataFrame | None = None) -> DataFrame:
+    """→ out_spans(doc_id, spans array<struct<kind,text,media_ref,offset>>)."""
+    span_rows = explode_spans(documents)
+
+    passthrough = span_rows.filter(F.col("kind").isin("text", "image")).select(
+        "doc_id", "offset",
+        F.lit(0).cast("long").alias("sub_order"),
+        "kind", "text", "media_ref",
+    )
+
+    media = media_spans(span_rows).select("doc_id", "offset", "media_ref")
+
+    lines = (
+        free_lines(ocr_lines, cells)
+        .select("media_ref", "position", "text")
+        .join(media, "media_ref")
+        .select(
+            "doc_id", "offset",
+            F.col("position").cast("long").alias("sub_order"),
+            F.lit("text").alias("kind"), "text", "media_ref",
+        )
+    )
+
+    parts = [passthrough, lines]
+    if cells is not None:
+        cell_items = (
+            cells.select("media_ref", "row_id", "col_id", "text")
+            .join(media, "media_ref")
+            .select(
+                "doc_id", "offset",
+                (F.lit(1_000_000) + F.col("row_id") * 1000 + F.col("col_id"))
+                .cast("long").alias("sub_order"),
+                F.lit("cell").alias("kind"), "text", "media_ref",
+            )
+        )
+        parts.append(cell_items)
+
+    items = parts[0]
+    for p in parts[1:]:
+        items = items.unionByName(p)
+
+    w = Window.partitionBy("doc_id").orderBy("offset", "sub_order")
+    ordered = items.withColumn(
+        "out_offset", (F.row_number().over(w) - 1).cast("int")
+    )
+    return (
+        ordered.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("out_offset").alias("offset"),
+                        "kind", "text", "media_ref",
+                    )
+                )
+            ).alias("_s")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                "_s",
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ).alias("spans"),
+        )
+    )

@@ -1,0 +1,125 @@
+"""Text-line detection stage + relational post-processing.
+
+The reference pipeline: segmentation model → CRAFT polygonization →
+rescale → clean contained boxes → 5% y-expand → confidence normalization
+(/root/reference/surya/detection/__init__.py:27-155,
+ /root/reference/surya/detection/heatmap.py:43-184,
+ /root/reference/surya/common/util.py:9-36).
+
+Spark shape: the model+polygonize step is one mapInPandas slot over page
+blobs (Arrow-batched, image bytes never shuffled again after this stage);
+everything downstream is pure relational — the containment filter is a
+LEFT ANTI self-join within a page, expansion/normalization are column
+expressions and a window.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import schemas
+from ..functions import geometry as G
+from . import slots
+
+_DETECT_OUT = T.StructType(
+    list(schemas.LINES)
+    + [
+        T.StructField("page_width", T.IntegerType(), False),
+        T.StructField("page_height", T.IntegerType(), False),
+    ]
+)
+
+
+def detect_lines(pages: DataFrame,
+                 slot: Callable = slots.surrogate_detect) -> DataFrame:
+    """page_blobs → raw detected lines (noisy, unordered, may contain
+    duplicates). One Arrow batch of pages in, exploded lines out."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, w, h, blob in zip(
+                pdf["media_ref"], pdf["width"], pdf["height"], pdf["img_bytes"]
+            ):
+                for i, d in enumerate(slot(ref, int(w), int(h), bytes(blob))):
+                    poly = d["polygon"]
+                    xs = [p[0] for p in poly]
+                    ys = [p[1] for p in poly]
+                    rows.append({
+                        "media_ref": ref, "line_idx": i, "polygon": poly,
+                        "x1": min(xs), "y1": min(ys),
+                        "x2": max(xs), "y2": max(ys),
+                        "confidence": d["confidence"],
+                        "page_width": int(w), "page_height": int(h),
+                    })
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {f.name: pd.Series([], dtype=object) for f in _DETECT_OUT})
+
+    return pages.mapInPandas(run, schema=_DETECT_OUT)
+
+
+def clean_contained_boxes(lines: DataFrame) -> DataFrame:
+    """Drop zero-area boxes and boxes fully contained in a larger box on the
+    same page — the reference's clean_boxes
+    (/root/reference/surya/common/util.py:9-36) as a LEFT ANTI self-join.
+
+    The join is equi on media_ref (partition-prunable) with the containment
+    theta refinement in the predicate; per-page line counts are O(10²) so
+    the within-key quadratic term is bounded.
+    """
+    a, b = lines.alias("a"), lines.alias("b")
+    A, B = (lambda c: F.col(f"a.{c}")), (lambda c: F.col(f"b.{c}"))
+    contained = (
+        (A("media_ref") == B("media_ref"))
+        & (A("line_idx") != B("line_idx"))
+        & G.contains(A("x1"), A("y1"), A("x2"), A("y2"),
+                     B("x1"), B("y1"), B("x2"), B("y2"))
+        & (
+            (G.area(B("x1"), B("y1"), B("x2"), B("y2"))
+             > G.area(A("x1"), A("y1"), A("x2"), A("y2")))
+            | (
+                (G.area(B("x1"), B("y1"), B("x2"), B("y2"))
+                 == G.area(A("x1"), A("y1"), A("x2"), A("y2")))
+                & (B("line_idx") < A("line_idx"))
+            )
+        )
+    )
+    kept = a.join(b, on=contained, how="left_anti")
+    return kept.filter(
+        G.area(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")) > 0
+    )
+
+
+def expand_and_normalize(lines: DataFrame, y_pct: float = 0.05) -> DataFrame:
+    """5% vertical expansion clamped to the page
+    (/root/reference/surya/detection/heatmap.py:169-175) and per-page
+    max-confidence normalization
+    (/root/reference/surya/detection/heatmap.py:100-107) via a window."""
+    ex = G.expand_bbox(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"),
+                       x_pct=0.0, y_pct=y_pct)
+    cl = G.clamp_bbox(ex[0], ex[1], ex[2], ex[3],
+                      F.col("page_width"), F.col("page_height"))
+    w = Window.partitionBy("media_ref")
+    return (
+        lines.withColumn("x1", cl[0]).withColumn("y1", cl[1])
+        .withColumn("x2", cl[2]).withColumn("y2", cl[3])
+        .withColumn(
+            "confidence",
+            F.col("confidence") / F.max("confidence").over(w),
+        )
+        .withColumn(
+            "polygon",
+            G.bbox_to_poly(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")),
+        )
+    )
+
+
+def detection_stage(pages: DataFrame,
+                    slot: Callable = slots.surrogate_detect) -> DataFrame:
+    """Full detection stage: infer → clean → expand/normalize."""
+    return expand_and_normalize(clean_contained_boxes(detect_lines(pages, slot)))

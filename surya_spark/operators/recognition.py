@@ -1,0 +1,180 @@
+"""Recognition stage: detection→recognition slice join + OCR slot + word
+assembly.
+
+Reference flow: detected polygons crop line slices from the page image,
+slices are batched into the recognizer, chars are assembled to words/lines
+(/root/reference/surya/recognition/__init__.py:138-197,501-942,
+ /root/reference/surya/input/processing.py:57-101,
+ /root/reference/surya/recognition/util.py:123-154).
+
+Spark shape, designed so page bytes shuffle at most once and never fan out:
+line bboxes are tiny → aggregate them per page (collect_list), join ONTO
+the page blobs (one row per page, not per line), slice all of a page's
+crops in a single mapInPandas pass, and explode. Downstream only small
+crop blobs move. The recognizer is a second mapInPandas slot over crops;
+its internal continuous-batching micro-scheduler is invisible to the plan
+(SURVEY.md §7.3) — the surrogate just decodes the fixture descriptor.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import schemas
+from ..datagen import decode_page
+from . import slots
+
+_CROPS = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("line_idx", T.IntegerType(), False),
+    T.StructField("position", T.IntegerType(), False),
+    T.StructField("x1", T.DoubleType(), False),
+    T.StructField("y1", T.DoubleType(), False),
+    T.StructField("x2", T.DoubleType(), False),
+    T.StructField("y2", T.DoubleType(), False),
+    T.StructField("crop_bytes", T.BinaryType(), False),
+])
+
+
+def slice_crops(lines: DataFrame, pages: DataFrame) -> DataFrame:
+    """lines(media_ref, line_idx, position, bbox) ⋈ page blobs → crop blobs.
+
+    The aggregate-then-join keeps the shuffle payload to bbox lists; page
+    bytes stay where the page row lives.
+    """
+    boxes = lines.groupBy("media_ref").agg(
+        F.collect_list(
+            F.struct("line_idx", "position", "x1", "y1", "x2", "y2")
+        ).alias("boxes")
+    )
+    joined = pages.join(boxes, "media_ref", "inner").select(
+        "media_ref", "img_bytes", "boxes"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, blob, boxes in zip(
+                pdf["media_ref"], pdf["img_bytes"], pdf["boxes"]
+            ):
+                desc = decode_page(bytes(blob))
+                for b in boxes:
+                    bbox = [b["x1"], b["y1"], b["x2"], b["y2"]]
+                    rows.append({
+                        "media_ref": ref,
+                        "line_idx": int(b["line_idx"]),
+                        "position": int(b["position"]),
+                        "x1": b["x1"], "y1": b["y1"],
+                        "x2": b["x2"], "y2": b["y2"],
+                        "crop_bytes": slots.encode_crop(desc, bbox),
+                    })
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {f.name: pd.Series([], dtype=object) for f in _CROPS})
+
+    return joined.mapInPandas(run, schema=_CROPS)
+
+
+_OCR_OUT = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("line_idx", T.IntegerType(), False),
+    T.StructField("position", T.IntegerType(), False),
+    T.StructField("x1", T.DoubleType(), False),
+    T.StructField("y1", T.DoubleType(), False),
+    T.StructField("x2", T.DoubleType(), False),
+    T.StructField("y2", T.DoubleType(), False),
+    T.StructField("text", T.StringType(), False),
+    T.StructField("chars", T.ArrayType(schemas.TEXT_CHAR), False),
+    T.StructField("confidence", T.DoubleType(), False),
+])
+
+
+def recognize(crops: DataFrame,
+              slot: Callable = slots.surrogate_recognize) -> DataFrame:
+    """crop blobs → ocr_lines. Width-descending sort within partitions
+    mirrors the reference's batch admission order
+    (/root/reference/surya/recognition/__init__.py:847-854) — a physical
+    optimization only; result order is re-pinned by explicit keys."""
+    sorted_crops = crops.sortWithinPartitions((F.col("x2") - F.col("x1")).desc())
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, li, pos, x1, y1, x2, y2, blob in zip(
+                pdf["media_ref"], pdf["line_idx"], pdf["position"],
+                pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"], pdf["crop_bytes"]
+            ):
+                r = slot(bytes(blob))
+                # shift chars from crop space back into page coords and clamp
+                # to the line bbox (/root/reference/surya/recognition/__init__.py:906-914)
+                chars = [
+                    {
+                        "text": c["text"],
+                        "x1": min(max(c["x1"] + x1, x1), x2),
+                        "y1": min(max(c["y1"] + y1, y1), y2),
+                        "x2": min(max(c["x2"] + x1, x1), x2),
+                        "y2": min(max(c["y2"] + y1, y1), y2),
+                        "confidence": c["confidence"],
+                        "bbox_valid": bool(c["bbox_valid"]),
+                    }
+                    for c in r["chars"]
+                ]
+                rows.append({
+                    "media_ref": ref, "line_idx": int(li), "position": int(pos),
+                    "x1": x1, "y1": y1, "x2": x2, "y2": y2,
+                    "text": r["text"], "chars": chars,
+                    "confidence": r["confidence"],
+                })
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {f.name: pd.Series([], dtype=object) for f in _OCR_OUT})
+
+    return sorted_crops.mapInPandas(run, schema=_OCR_OUT)
+
+
+def line_confidence(ocr_lines: DataFrame) -> DataFrame:
+    """Line confidence = mean of char confidences
+    (/root/reference/surya/recognition/__init__.py:901-905) as an array
+    aggregate — no shuffle, no Python."""
+    n = F.size("chars")
+    s = F.aggregate(
+        "chars", F.lit(0.0), lambda acc, c: acc + c["confidence"]
+    )
+    return ocr_lines.withColumn(
+        "confidence", F.when(n > 0, s / n).otherwise(F.col("confidence"))
+    )
+
+
+def assemble_words(ocr_lines: DataFrame) -> DataFrame:
+    """chars → words: split on whitespace chars, word bbox = running union.
+    Relational form of /root/reference/surya/recognition/util.py:123-154:
+    posexplode chars, cumulative space count = word id, group.
+    Returns (media_ref, line_idx, word_idx, word, x1, y1, x2, y2)."""
+    ex = ocr_lines.select(
+        "media_ref", "line_idx",
+        F.posexplode("chars").alias("pos", "ch"),
+    )
+    w = Window.partitionBy("media_ref", "line_idx").orderBy("pos")
+    is_space = F.col("ch.text").rlike(r"^\s$").cast("int")
+    with_ids = ex.withColumn(
+        "word_id", F.sum(is_space).over(w) - is_space
+    ).filter(~F.col("ch.text").rlike(r"^\s$"))
+    return (
+        with_ids.groupBy("media_ref", "line_idx", "word_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", F.col("ch.text").alias("t")))
+                    ),
+                    lambda s: s["t"],
+                )
+            ).alias("word"),
+            F.min("ch.x1").alias("x1"), F.min("ch.y1").alias("y1"),
+            F.max("ch.x2").alias("x2"), F.max("ch.y2").alias("y2"),
+        )
+        .withColumnRenamed("word_id", "word_idx")
+    )

@@ -1,0 +1,197 @@
+"""The four pluggable inference slots (SURVEY.md §2.8).
+
+The reference binds models via BasePredictor subclasses
+(/root/reference/surya/common/predictor.py:9-57); our equivalent extension
+surface is a plain callable per slot with a published contract, injected
+into the stage builders. Tests and this sandbox use deterministic
+fixture-backed surrogates that decode the SPG1 page descriptors; a GPU
+deployment swaps in torch-backed callables with identical signatures —
+the Spark plan does not change.
+
+Surrogate realism: detection emits *noisy, unordered, duplicated* boxes so
+the relational post-processing (containment anti-join, y-expand, confidence
+normalization, reading-order sort) is actually load-bearing, exactly like
+the CRAFT polygonization output the reference cleans up
+(/root/reference/surya/detection/heatmap.py:43-184).
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+
+from ..datagen import MAGIC, SEED, _rng, decode_page
+
+CROP_MAGIC = b"SPC1"
+
+
+# ------------------------------------------------------------------ detection
+def surrogate_detect(media_ref: str, width: int, height: int,
+                     img_bytes: bytes) -> list[dict]:
+    """Emit one 4-corner polygon per visible text line, plus noise:
+    deterministic ±2px jitter, shuffled emission order, and ~25% spurious
+    fully-contained duplicate boxes (lower confidence)."""
+    desc = decode_page(img_bytes)
+    truth = list(desc["lines"])
+    rng = _rng(SEED, "det", media_ref)
+    order = rng.permutation(len(truth))
+    out = []
+    for emit_i, ti in enumerate(order):
+        ln = truth[int(ti)]
+        x1, y1, x2, y2 = (float(v) for v in ln["bbox"])
+        jr = _rng(SEED, "detjit", media_ref, int(ti))
+        jx1, jy1, jx2, jy2 = (float(j) for j in jr.randint(-2, 3, 4))
+        bx1, by1 = x1 + jx1, y1 + jy1
+        bx2, by2 = max(bx1 + 1.0, x2 + jx2), max(by1 + 1.0, y2 + jy2)
+        conf = float(0.6 + 0.4 * jr.rand())
+        poly = [[bx1, by1], [bx2, by1], [bx2, by2], [bx1, by2]]
+        out.append({"polygon": poly, "confidence": conf})
+        if jr.rand() < 0.25:  # spurious contained duplicate
+            w, h = bx2 - bx1, by2 - by1
+            dx1, dy1 = bx1 + 0.2 * w, by1 + 0.2 * h
+            dx2, dy2 = bx2 - 0.2 * w, by2 - 0.2 * h
+            out.append({
+                "polygon": [[dx1, dy1], [dx2, dy1], [dx2, dy2], [dx1, dy2]],
+                "confidence": conf * 0.5,
+            })
+    return out
+
+
+# ---------------------------------------------------------------- crop encode
+def encode_crop(desc: dict, bbox: list[float]) -> bytes:
+    """Slice a page descriptor to a crop blob: truth lines overlapping the
+    crop bbox ≥50% of their area, coordinates shifted to crop space.
+    Mirrors polygon crop+mask (/root/reference/surya/input/processing.py:57-101)."""
+    cx1, cy1, cx2, cy2 = bbox
+    kept = []
+    for ln in desc["lines"]:
+        lx1, ly1, lx2, ly2 = ln["bbox"]
+        ix = max(0.0, min(lx2, cx2) - max(lx1, cx1))
+        iy = max(0.0, min(ly2, cy2) - max(ly1, cy1))
+        area = max(1e-9, (lx2 - lx1) * (ly2 - ly1))
+        if ix * iy / area >= 0.5:
+            kept.append({
+                "bbox": [lx1 - cx1, ly1 - cy1, lx2 - cx1, ly2 - cy1],
+                "text": ln["text"],
+            })
+    payload = {"crop": [0.0, 0.0, cx2 - cx1, cy2 - cy1], "lines": kept}
+    return CROP_MAGIC + zlib.compress(json.dumps(payload, sort_keys=True).encode())
+
+
+def decode_crop(blob: bytes) -> dict:
+    if not blob.startswith(CROP_MAGIC):
+        raise ValueError("not an SPC1 crop blob")
+    return json.loads(zlib.decompress(blob[len(CROP_MAGIC):]))
+
+
+# ---------------------------------------------------------------- recognition
+def surrogate_recognize(crop_bytes: bytes) -> dict:
+    """crop blob → (text, chars, confidence). Picks the truth line covering
+    the largest share of the crop; chars get evenly-divided boxes, like the
+    reference's per-token bbox head output
+    (/root/reference/surya/recognition/__init__.py:609-771)."""
+    desc = decode_crop(crop_bytes)
+    _, _, cw, ch = desc["crop"]
+    best, best_cover = None, -1.0
+    for ln in desc["lines"]:
+        x1, y1, x2, y2 = ln["bbox"]
+        ix = max(0.0, min(x2, cw) - max(x1, 0.0))
+        iy = max(0.0, min(y2, ch) - max(y1, 0.0))
+        if ix * iy > best_cover:
+            best, best_cover = ln, ix * iy
+    if best is None:
+        return {"text": "", "chars": [], "confidence": 0.0}
+    text = best["text"]
+    x1, y1, x2, y2 = best["bbox"]
+    n = max(1, len(text))
+    cw_char = (x2 - x1) / n
+    rng = _rng(SEED, "rec", text)
+    conf = float(0.9 + 0.1 * rng.rand())
+    chars = [
+        {
+            "text": text[i],
+            "x1": x1 + i * cw_char, "y1": y1,
+            "x2": x1 + (i + 1) * cw_char, "y2": y2,
+            "confidence": conf, "bbox_valid": True,
+        }
+        for i in range(len(text))
+    ]
+    return {"text": text, "chars": chars, "confidence": conf}
+
+
+# --------------------------------------------------------------------- layout
+def surrogate_layout(media_ref: str, width: int, height: int,
+                     img_bytes: bytes) -> list[dict]:
+    """Emit layout regions in reading order with a deterministic top-5
+    label distribution (/root/reference/surya/layout/__init__.py:176-177)."""
+    from ..schemas import LAYOUT_LABELS
+
+    desc = decode_page(img_bytes)
+    out = []
+    for r in sorted(desc.get("regions", []), key=lambda r: r["order"]):
+        rng = _rng(SEED, "layout", media_ref, r["order"])
+        conf = float(0.7 + 0.3 * rng.rand())
+        others = [l for l in LAYOUT_LABELS if l != r["label"]]
+        alt = [others[int(i)] for i in rng.choice(len(others), 4, replace=False)]
+        rest = (1.0 - conf) / 4.0
+        top_k = {r["label"]: conf, **{a: rest for a in alt}}
+        x1, y1, x2, y2 = (float(v) for v in r["bbox"])
+        out.append({
+            "emit_idx": r["order"], "label": r["label"],
+            "x1": x1, "y1": y1, "x2": x2, "y2": y2,
+            "confidence": conf, "top_k": top_k,
+        })
+    return out
+
+
+# ------------------------------------------------------------------ table rec
+def surrogate_table(crop_bytes: bytes) -> list[dict]:
+    """Table crop blob → row/col items in emit order (pass 1 of the
+    reference's two-pass decode, /root/reference/surya/table_rec/__init__.py:181-231).
+    The cell grid is assembled relationally downstream."""
+    desc = decode_crop(crop_bytes) if crop_bytes.startswith(CROP_MAGIC) else None
+    table = desc.get("table") if desc else None
+    if not table:
+        return []
+    items = []
+    x, y = table["x"], table["y"]
+    cw, chh = table["cell_w"], table["cell_h"]
+    n_rows, n_cols = table["rows"], table["cols"]
+    for r in range(n_rows):
+        items.append({
+            "item_kind": "row", "item_id": r,
+            "x1": float(x), "y1": float(y + r * chh),
+            "x2": float(x + n_cols * cw), "y2": float(y + (r + 1) * chh),
+            "is_header": r == 0, "colspan": None,
+        })
+    for c in range(n_cols):
+        items.append({
+            "item_kind": "col", "item_id": c,
+            "x1": float(x + c * cw), "y1": float(y),
+            "x2": float(x + (c + 1) * cw), "y2": float(y + n_rows * chh),
+            "is_header": False, "colspan": None,
+        })
+    return items
+
+
+def encode_table_crop(desc: dict, bbox: list[float]) -> bytes:
+    """Crop a page descriptor to its table region (coordinates kept in crop
+    space) — the layout→table crop join payload."""
+    cx1, cy1, _, _ = bbox
+    t = desc.get("table")
+    payload = {"crop": [0.0, 0.0, bbox[2] - bbox[0], bbox[3] - bbox[1]],
+               "lines": [], "table": None}
+    if t:
+        payload["table"] = {**t, "x": t["x"] - cx1, "y": t["y"] - cy1}
+    return CROP_MAGIC + zlib.compress(json.dumps(payload, sort_keys=True).encode())
+
+
+# ------------------------------------------------------------------ ocr error
+def surrogate_ocr_error(text: str) -> str:
+    """'good'/'bad' text-quality label, deterministic heuristic standing in
+    for the DistilBERT classifier (/root/reference/surya/ocr_error/__init__.py:14-63)."""
+    if not text:
+        return "bad"
+    n = len(text)
+    alnum = sum(ch.isalnum() or ch.isspace() for ch in text)
+    return "good" if alnum / n >= 0.7 else "bad"

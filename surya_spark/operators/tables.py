@@ -1,0 +1,179 @@
+"""Table recognition: layout→crop join, row/col decode slot, relational
+grid assembly, cell-text assignment join.
+
+Reference flow (/root/reference/surya/scripts/table_recognition.py:47-96,
+/root/reference/surya/table_rec/__init__.py:181-387): layout boxes labeled
+Table are cropped at high-res, a two-pass decoder emits row/col/cell
+items, and the cell grid is rows × cols with spanning-cell overrides.
+
+Spark shape: crops via the aggregate-then-join pattern (region bboxes are
+tiny; page bytes don't fan out); the grid is a genuine CROSS JOIN of rows
+and columns *within* (media_ref, table_idx) — an equi-join key with the
+intersection expression as refinement; cell text is a theta join of OCR
+lines into cell bboxes (center-containment) + an ordered group-concat.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import schemas
+from ..datagen import decode_page
+from . import slots
+
+_TABLE_CROPS = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("table_idx", T.IntegerType(), False),
+    T.StructField("x1", T.DoubleType(), False),
+    T.StructField("y1", T.DoubleType(), False),
+    T.StructField("x2", T.DoubleType(), False),
+    T.StructField("y2", T.DoubleType(), False),
+    T.StructField("crop_bytes", T.BinaryType(), False),
+])
+
+TABLE_LABELS = ("Table", "TableOfContents")
+
+
+def table_crops(regions: DataFrame, pages: DataFrame,
+                expand_pct: float = 0.01) -> DataFrame:
+    """Layout regions labeled Table → ordered table_idx per page → crop
+    blobs. table_idx = row_number over y (top-to-bottom), matching the
+    reference's per-page table ordering."""
+    w = Window.partitionBy("media_ref").orderBy("y1", "x1")
+    tables = (
+        regions.filter(F.col("label").isin(*TABLE_LABELS))
+        .withColumn("table_idx", F.row_number().over(w) - 1)
+        .select("media_ref", "table_idx", "x1", "y1", "x2", "y2")
+    )
+    boxes = tables.groupBy("media_ref").agg(
+        F.collect_list(F.struct("table_idx", "x1", "y1", "x2", "y2")).alias("tboxes")
+    )
+    joined = pages.join(boxes, "media_ref", "inner").select(
+        "media_ref", "img_bytes", "tboxes"
+    )
+    ex = expand_pct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, blob, tboxes in zip(
+                pdf["media_ref"], pdf["img_bytes"], pdf["tboxes"]
+            ):
+                desc = decode_page(bytes(blob))
+                for b in tboxes:
+                    dx = (b["x2"] - b["x1"]) * ex
+                    dy = (b["y2"] - b["y1"]) * ex
+                    bbox = [b["x1"] - dx, b["y1"] - dy,
+                            b["x2"] + dx, b["y2"] + dy]
+                    rows.append({
+                        "media_ref": ref, "table_idx": int(b["table_idx"]),
+                        "x1": bbox[0], "y1": bbox[1],
+                        "x2": bbox[2], "y2": bbox[3],
+                        "crop_bytes": slots.encode_table_crop(desc, bbox),
+                    })
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {f.name: pd.Series([], dtype=object) for f in _TABLE_CROPS})
+
+    return joined.mapInPandas(run, schema=_TABLE_CROPS)
+
+
+def table_items(crops: DataFrame,
+                slot: Callable = slots.surrogate_table) -> DataFrame:
+    """Table crops → row/col items (emit order = item_id), shifted back to
+    page coordinates via the crop origin."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, ti, x1, y1, blob in zip(
+                pdf["media_ref"], pdf["table_idx"], pdf["x1"], pdf["y1"],
+                pdf["crop_bytes"],
+            ):
+                for item in slot(bytes(blob)):
+                    rows.append({
+                        "media_ref": ref, "table_idx": int(ti),
+                        "item_kind": item["item_kind"],
+                        "item_id": int(item["item_id"]),
+                        "x1": item["x1"] + x1, "y1": item["y1"] + y1,
+                        "x2": item["x2"] + x1, "y2": item["y2"] + y1,
+                        "is_header": bool(item["is_header"]),
+                        "colspan": item["colspan"],
+                    })
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {f.name: pd.Series([], dtype=object) for f in schemas.TABLE_ITEMS})
+
+    return crops.mapInPandas(run, schema=schemas.TABLE_ITEMS)
+
+
+def cell_grid(items: DataFrame) -> DataFrame:
+    """cells = rows × cols within a table; cell bbox = row ∩ col
+    (/root/reference/surya/table_rec/__init__.py:304-344). The cross join
+    is bounded per table (≤150 items) and equi-keyed on
+    (media_ref, table_idx), so it partitions cleanly."""
+    rows = items.filter(F.col("item_kind") == "row").select(
+        "media_ref", "table_idx",
+        F.col("item_id").alias("row_id"),
+        F.col("y1").alias("ry1"), F.col("y2").alias("ry2"),
+        F.col("x1").alias("rx1"), F.col("x2").alias("rx2"),
+        "is_header",
+    )
+    cols = items.filter(F.col("item_kind") == "col").select(
+        "media_ref", "table_idx",
+        F.col("item_id").alias("col_id"),
+        F.col("x1").alias("cx1"), F.col("x2").alias("cx2"),
+    )
+    return rows.join(cols, ["media_ref", "table_idx"]).select(
+        "media_ref", "table_idx", "row_id", "col_id", "is_header",
+        F.greatest("rx1", "cx1").alias("x1"),
+        F.col("ry1").alias("y1"),
+        F.least("rx2", "cx2").alias("x2"),
+        F.col("ry2").alias("y2"),
+    )
+
+
+def assign_cell_text(cells: DataFrame, ocr_lines: DataFrame) -> DataFrame:
+    """OCR lines whose center falls inside a cell bbox become the cell's
+    text (reading-order concat). Theta join refined from the media_ref
+    equi key; each line lands in ≤1 cell because cells tile the table."""
+    ln = ocr_lines.select(
+        "media_ref", "position", F.col("text").alias("line_text"),
+        ((F.col("x1") + F.col("x2")) / 2).alias("lcx"),
+        ((F.col("y1") + F.col("y2")) / 2).alias("lcy"),
+    )
+    joined = cells.join(
+        ln,
+        (cells["media_ref"] == ln["media_ref"])
+        & (ln["lcx"] >= cells["x1"]) & (ln["lcx"] < cells["x2"])
+        & (ln["lcy"] >= cells["y1"]) & (ln["lcy"] < cells["y2"]),
+        "left",
+    ).drop(ln["media_ref"])
+    return (
+        joined.groupBy(
+            "media_ref", "table_idx", "row_id", "col_id",
+            "is_header", "x1", "y1", "x2", "y2",
+        )
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("position", "line_text"))
+                    ),
+                    lambda s: s["line_text"],
+                ),
+            ).alias("text")
+        )
+    )
+
+
+def table_stage(regions: DataFrame, pages: DataFrame,
+                ocr_lines: DataFrame,
+                slot: Callable = slots.surrogate_table) -> DataFrame:
+    crops = table_crops(regions, pages)
+    items = table_items(crops, slot)
+    return assign_cell_text(cell_grid(items), ocr_lines)
