@@ -1,38 +1,766 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)     — flagship extraction pipeline on a deterministic
+                   synthetic interleaved-docs table (sf0.001 grain).
+queries()        — one entry per implemented operator family
+                   (SURVEY.md §2 + training-data operators).
+oracle_sql()     — DuckDB-runnable ANSI SQL equivalents. Geometry queries
+                   derive boxes from lineitem/orders with *integer*
+                   arithmetic so float results are bit-exact across
+                   engines; doubles in outputs are rounded.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from surya_spark import datagen, pipeline  # noqa: E402
+from surya_spark.functions import geometry as G  # noqa: E402
+from surya_spark.functions import text as TX  # noqa: E402
+from surya_spark.training import dedup, multimodal, similarity, textstats  # noqa: E402
+
+N_DOCS_ENTRY = 60
+N_DOCS_QUERY = 120
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# synthetic geometry: boxes derived from lineitem / orders with integer
+# arithmetic (exactly representable as doubles → bit-exact vs any oracle)
+# --------------------------------------------------------------------------
+
+def _boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") % 500).alias("page_id"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("box_id"),
+        ((F.col("l_partkey") * 7) % 900).cast("double").alias("x1"),
+        ((F.col("l_suppkey") * 13) % 900).cast("double").alias("y1"),
+        ((F.col("l_partkey") * 7) % 900 + (F.col("l_partkey") % 120) + 5)
+        .cast("double").alias("x2"),
+        ((F.col("l_suppkey") * 13) % 900 + (F.col("l_suppkey") % 80) + 5)
+        .cast("double").alias("y2"),
+        (((F.col("l_partkey") % 97) + 1).cast("double") / 97.0).alias("conf"),
+    )
+
+
+_BOXES_SQL = """
+    SELECT l_orderkey % 500 AS page_id,
+           l_orderkey * 8 + l_linenumber AS box_id,
+           CAST((l_partkey * 7) % 900 AS DOUBLE) AS x1,
+           CAST((l_suppkey * 13) % 900 AS DOUBLE) AS y1,
+           CAST((l_partkey * 7) % 900 + (l_partkey % 120) + 5 AS DOUBLE) AS x2,
+           CAST((l_suppkey * 13) % 900 + (l_suppkey % 80) + 5 AS DOUBLE) AS y2,
+           CAST((l_partkey % 97) + 1 AS DOUBLE) / 97.0 AS conf
+    FROM lineitem
+"""
+
+
+def _truth_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        (F.col("o_orderkey") % 500).alias("page_id"),
+        F.col("o_orderkey").alias("tbox_id"),
+        ((F.col("o_custkey") * 11) % 900).cast("double").alias("x1"),
+        ((F.col("o_custkey") * 17) % 900).cast("double").alias("y1"),
+        ((F.col("o_custkey") * 11) % 900 + (F.col("o_custkey") % 150) + 10)
+        .cast("double").alias("x2"),
+        ((F.col("o_custkey") * 17) % 900 + (F.col("o_custkey") % 90) + 10)
+        .cast("double").alias("y2"),
+    )
+
+
+_TRUTH_SQL = """
+    SELECT o_orderkey % 500 AS page_id,
+           o_orderkey AS tbox_id,
+           CAST((o_custkey * 11) % 900 AS DOUBLE) AS x1,
+           CAST((o_custkey * 17) % 900 AS DOUBLE) AS y1,
+           CAST((o_custkey * 11) % 900 + (o_custkey % 150) + 10 AS DOUBLE) AS x2,
+           CAST((o_custkey * 17) % 900 + (o_custkey % 90) + 10 AS DOUBLE) AS y2
+    FROM orders
+"""
+
+_NORM_SQL = (
+    "lower(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "text, '<math(\\s[^>]*)?>.*?</math>', ' ', 'g'), '<[^>]+>', '', 'g'), "
+    "'[•▪◦‣·]', '*', 'g'), '\\s+', ' ', 'g')))"
+)
+
+_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)"
+)
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1997-12-31")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue_nations(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_order_priority_window(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank",
+                F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+def q_market_share_rollup(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .rollup("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    gap = F.col("sec") - F.lag("sec").over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = e.withColumn(
+        "session_id",
+        F.sum(new_s).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("sec") - F.min("sec")).alias("duration_sec"),
+    )
+
+
+def q_events_tumbling(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("hour_ts"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+def q_clean_boxes(spark, sf_dir):
+    b = _boxes(spark, sf_dir)
+    a, bb = b.alias("a"), b.alias("b")
+    A, B = (lambda c: F.col(f"a.{c}")), (lambda c: F.col(f"b.{c}"))
+    pred = (
+        (A("page_id") == B("page_id"))
+        & (A("box_id") != B("box_id"))
+        & G.contains(A("x1"), A("y1"), A("x2"), A("y2"),
+                     B("x1"), B("y1"), B("x2"), B("y2"))
+        & (
+            (G.area(B("x1"), B("y1"), B("x2"), B("y2"))
+             > G.area(A("x1"), A("y1"), A("x2"), A("y2")))
+            | ((G.area(B("x1"), B("y1"), B("x2"), B("y2"))
+                == G.area(A("x1"), A("y1"), A("x2"), A("y2")))
+               & (B("box_id") < A("box_id")))
+        )
+    )
+    return a.join(bb, on=pred, how="left_anti").select("page_id", "box_id")
+
+
+def q_overlap_pairs(spark, sf_dir):
+    b = _boxes(spark, sf_dir).filter(F.col("page_id") < 100)
+    a, bb = b.alias("a"), b.alias("b")
+    A, B = (lambda c: F.col(f"a.{c}")), (lambda c: F.col(f"b.{c}"))
+    inter = G.intersection_area(
+        A("x1"), A("y1"), A("x2"), A("y2"),
+        B("x1"), B("y1"), B("x2"), B("y2"),
+    )
+    pairs = a.join(
+        bb, (A("page_id") == B("page_id")) & (A("box_id") < B("box_id"))
+    )
+    return (
+        pairs.select(
+            A("page_id").alias("page_id"),
+            A("box_id").alias("box_a"),
+            B("box_id").alias("box_b"),
+            F.round(
+                G.iou(A("x1"), A("y1"), A("x2"), A("y2"),
+                      B("x1"), B("y1"), B("x2"), B("y2")), 6
+            ).alias("iou"),
+            inter.alias("_inter"),
+        )
+        .filter(F.col("_inter") > 0)
+        .drop("_inter")
+    )
+
+
+def q_reading_order(spark, sf_dir):
+    b = _boxes(spark, sf_dir)
+    w_pg = Window.partitionBy("page_id")
+    crossing = F.when((F.col("x1") < 432) & (F.col("x2") > 468), 1).otherwise(0)
+    df = (
+        b.withColumn("_cr", F.max(crossing).over(w_pg))
+        .withColumn(
+            "col_id",
+            F.when(
+                (F.col("_cr") == 0) & ((F.col("x1") + F.col("x2")) / 2.0 >= 450),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("band", F.floor(F.col("y1") / 40.0))
+    )
+    w = Window.partitionBy("page_id").orderBy("col_id", "band", "x1", "box_id")
+    return df.select(
+        "page_id", "box_id", F.row_number().over(w).cast("long").alias("position")
+    )
+
+
+def q_merge_boxes_agg(spark, sf_dir):
+    b = _boxes(spark, sf_dir)
+    return (
+        b.withColumn("y_band", F.floor(F.col("y1") / 40.0).cast("long"))
+        .groupBy("page_id", "y_band")
+        .agg(
+            F.min("x1").alias("ux1"), F.min("y1").alias("uy1"),
+            F.max("x2").alias("ux2"), F.max("y2").alias("uy2"),
+            F.count(F.lit(1)).alias("n_boxes"),
+        )
+    )
+
+
+def q_grid_cells(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("row_id"),
+        (F.col("n_nationkey") * 40).cast("double").alias("ry1"),
+        (F.col("n_nationkey") * 40 + 40).cast("double").alias("ry2"),
+    )
+    r = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("col_id"),
+        (F.col("r_regionkey") * 200).cast("double").alias("cx1"),
+        (F.col("r_regionkey") * 200 + 200).cast("double").alias("cx2"),
+    )
+    return n.crossJoin(F.broadcast(r)).select(
+        "row_id", "col_id",
+        F.col("cx1").alias("x1"), F.col("ry1").alias("y1"),
+        F.col("cx2").alias("x2"), F.col("ry2").alias("y2"),
+    )
+
+
+def q_coverage_metric(spark, sf_dir):
+    p = _boxes(spark, sf_dir)
+    t = _truth_boxes(spark, sf_dir)
+    inter = G.intersection_area(
+        p["x1"], p["y1"], p["x2"], p["y2"],
+        t["x1"], t["y1"], t["x2"], t["y2"],
+    )
+    joined = p.join(t, p["page_id"] == t["page_id"], "left").select(
+        p["page_id"].alias("pg"), p["box_id"],
+        G.area(p["x1"], p["y1"], p["x2"], p["y2"]).alias("area"),
+        F.coalesce(inter, F.lit(0.0)).alias("inter"),
+    )
+    per_box = joined.groupBy("pg", "box_id", "area").agg(
+        F.sum("inter").alias("covered")
+    )
+    return (
+        per_box.groupBy(F.col("pg").alias("page_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pred"),
+            F.sum(
+                F.when(F.col("covered") / F.col("area") > 0.5, 1).otherwise(0)
+            ).cast("long").alias("n_covered"),
+        )
+        .withColumn(
+            "precision",
+            F.round(F.col("n_covered") / F.col("n_pred"), 6),
+        )
+    )
+
+
+def q_confidence_normalize(spark, sf_dir):
+    b = _boxes(spark, sf_dir)
+    w = Window.partitionBy("page_id")
+    return b.select(
+        "page_id", "box_id",
+        F.round(F.col("conf") / F.max("conf").over(w), 6).alias("norm_conf"),
+    )
+
+
+def q_text_profile(spark, sf_dir):
+    return textstats.text_profile(_t(spark, sf_dir, "documents"))
+
+
+def q_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.05
+    )
+
+
+def q_language_rollup(spark, sf_dir):
+    return textstats.corpus_language_rollup(_t(spark, sf_dir, "documents"))
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.knn_bruteforce(e, q, k=5)
+
+
+def q_knn_ivf(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    c = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return similarity.knn_ivf(e, c, k=3)
+
+
+def q_cosine_near_dup(spark, sf_dir):
+    return similarity.cosine_near_dup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.5, block_col="label"
+    )
+
+
+# ------------------------------ rows-only (no SQL-expressible oracle) ------
+
+def q_extract_pipeline(spark, sf_dir):
+    docs = datagen.gen_documents(spark, N_DOCS_QUERY, partitions=8)
+    blobs = datagen.gen_page_blobs(spark, N_DOCS_QUERY, partitions=8)
+    out = pipeline.extract(docs, blobs, with_tables=True)
+    return out.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.05
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    sim = dedup.simhash(_t(spark, sf_dir, "documents"))
+    return dedup.simhash_pairs(sim, max_dist=16)
+
+
+def q_media_metadata(spark, sf_dir):
+    blobs = datagen.gen_page_blobs(spark, N_DOCS_QUERY, partitions=8)
+    return multimodal.media_metadata(blobs)
+
+
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: end-to-end extraction on the synthetic interleaved table
+    (sf0.001 grain); returns exploded out_spans."""
+    docs = datagen.gen_documents(spark, N_DOCS_ENTRY, partitions=4)
+    blobs = datagen.gen_page_blobs(spark, N_DOCS_ENTRY, partitions=4)
+    out = pipeline.extract(docs, blobs, with_tables=True)
+    return out.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_nations": q_top_revenue_nations,
+        "order_priority_window": q_order_priority_window,
+        "market_share_rollup": q_market_share_rollup,
+        "events_sessionize": q_events_sessionize,
+        "events_tumbling": q_events_tumbling,
+        "clean_boxes": q_clean_boxes,
+        "overlap_pairs": q_overlap_pairs,
+        "reading_order": q_reading_order,
+        "merge_boxes_agg": q_merge_boxes_agg,
+        "grid_cells": q_grid_cells,
+        "coverage_metric": q_coverage_metric,
+        "confidence_normalize": q_confidence_normalize,
+        "text_profile": q_text_profile,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "language_rollup": q_language_rollup,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_ivf": q_knn_ivf,
+        "cosine_near_dup": q_cosine_near_dup,
+        "extract_pipeline": q_extract_pipeline,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "media_metadata": q_media_metadata,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    jacc_pairs = f"""
+        WITH t AS (
+          SELECT doc_id, source, {_TOKS_SQL} AS toks
+          FROM (SELECT doc_id, source, {_NORM_SQL} AS text FROM documents)
+        ),
+        s AS (
+          SELECT doc_id, source,
+                 CASE WHEN len(toks) >= 3 THEN
+                   list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in range(1, len(toks) - 1)])
+                 ELSE [array_to_string(toks, ' ')] END AS sh
+          FROM t
+        ),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+          FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.05
     """
-    return {}
+
+    quality_sql = """
+      round(
+        0.3 * (CASE WHEN n >= 200 THEN 1.0 ELSE n / 200.0 END)
+      + 0.3 * (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END)
+      + 0.2 * (CASE WHEN n > 0
+                    THEN 1.0 - least(1.0, 4.0 * punct / n) ELSE 0.0 END)
+      + 0.2 * (CASE WHEN toks > 0 AND n / toks >= 3.0 AND n / toks <= 10.0
+                    THEN 1.0 ELSE 0.5 END), 6)
+    """
+
+    profile_base = f"""
+        SELECT doc_id, text, {_NORM_SQL} AS norm_text,
+               CAST(length(text) AS DOUBLE) AS n,
+               CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                    AS DOUBLE) AS alpha,
+               CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))
+                    AS DOUBLE) AS punct,
+               CAST(len({_TOKS_SQL}) AS DOUBLE) AS toks,
+               list_distinct({_TOKS_SQL}) AS dtoks
+        FROM documents
+    """
+
+    lang_sql = """
+      CASE WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
+           WHEN he >= hd AND he >= hf AND he >= hs THEN 'en'
+           WHEN hd >= hf AND hd >= hs THEN 'de'
+           WHEN hf >= hs THEN 'fr'
+           ELSE 'es' END
+    """
+
+    hits_sql = """
+      len(list_intersect(dtoks, ['the','and','of','to','in','is','that','for','with','it'])) AS he,
+      len(list_intersect(dtoks, ['der','die','und','das','ist','nicht','ein','mit','zu','auf'])) AS hd,
+      len(list_intersect(dtoks, ['le','la','les','et','de','des','un','une','est','dans'])) AS hf,
+      len(list_intersect(dtoks, ['el','la','los','las','de','que','y','en','un','es'])) AS hs
+    """
+
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1997-12-31 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_revenue_nations": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "order_priority_window": """
+            SELECT o_custkey, o_orderkey, rank, round(o_totalprice, 2) AS totalprice
+            FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     CAST(row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+              FROM orders)
+            WHERE rank <= 3
+        """,
+        "market_share_rollup": """
+            SELECT c_mktsegment, o_orderstatus,
+                   count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY ROLLUP(c_mktsegment, o_orderstatus)
+        """,
+        "events_sessionize": """
+            WITH e AS (
+              SELECT user_id, event_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec
+              FROM events),
+            d AS (
+              SELECT user_id, sec,
+                     CASE WHEN lag(sec) OVER w IS NULL
+                               OR sec - lag(sec) OVER w > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+            s AS (
+              SELECT user_id, sec,
+                     CAST(sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY sec
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM d)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   max(sec) - min(sec) AS duration_sec
+            FROM s GROUP BY user_id, session_id
+        """,
+        "events_tumbling": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                     AS hour_ts,
+                   event_type, count(*) AS n, round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
+        "clean_boxes": f"""
+            WITH boxes AS ({_BOXES_SQL})
+            SELECT page_id, box_id FROM boxes a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM boxes b
+              WHERE b.page_id = a.page_id AND b.box_id <> a.box_id
+                AND b.x1 <= a.x1 AND b.y1 <= a.y1
+                AND b.x2 >= a.x2 AND b.y2 >= a.y2
+                AND ((b.x2-b.x1)*(b.y2-b.y1) > (a.x2-a.x1)*(a.y2-a.y1)
+                     OR ((b.x2-b.x1)*(b.y2-b.y1) = (a.x2-a.x1)*(a.y2-a.y1)
+                         AND b.box_id < a.box_id)))
+        """,
+        "overlap_pairs": f"""
+            WITH boxes AS ({_BOXES_SQL})
+            SELECT page_id, box_a, box_b, iou FROM (
+              SELECT a.page_id, a.box_id AS box_a, b.box_id AS box_b,
+                     greatest(0, least(a.x2,b.x2) - greatest(a.x1,b.x1))
+                   * greatest(0, least(a.y2,b.y2) - greatest(a.y1,b.y1)) AS inter,
+                     round(
+                       (greatest(0, least(a.x2,b.x2) - greatest(a.x1,b.x1))
+                        * greatest(0, least(a.y2,b.y2) - greatest(a.y1,b.y1)))
+                       / ((a.x2-a.x1)*(a.y2-a.y1) + (b.x2-b.x1)*(b.y2-b.y1)
+                          - greatest(0, least(a.x2,b.x2) - greatest(a.x1,b.x1))
+                            * greatest(0, least(a.y2,b.y2) - greatest(a.y1,b.y1))),
+                       6) AS iou
+              FROM boxes a JOIN boxes b
+                ON a.page_id = b.page_id AND a.box_id < b.box_id
+              WHERE a.page_id < 100)
+            WHERE inter > 0
+        """,
+        "reading_order": f"""
+            WITH boxes AS ({_BOXES_SQL}),
+            pg AS (
+              SELECT *, max(CASE WHEN x1 < 432 AND x2 > 468 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY page_id) AS crossing
+              FROM boxes),
+            cc AS (
+              SELECT *,
+                     CASE WHEN crossing = 0 AND (x1 + x2) / 2.0 >= 450
+                          THEN 1 ELSE 0 END AS col_id,
+                     floor(y1 / 40.0) AS band
+              FROM pg)
+            SELECT page_id, box_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY page_id
+                     ORDER BY col_id, band, x1, box_id) AS BIGINT) AS position
+            FROM cc
+        """,
+        "merge_boxes_agg": f"""
+            WITH boxes AS ({_BOXES_SQL})
+            SELECT page_id, CAST(floor(y1 / 40.0) AS BIGINT) AS y_band,
+                   min(x1) AS ux1, min(y1) AS uy1,
+                   max(x2) AS ux2, max(y2) AS uy2,
+                   count(*) AS n_boxes
+            FROM boxes GROUP BY 1, 2
+        """,
+        "grid_cells": """
+            SELECT n_nationkey AS row_id, r_regionkey AS col_id,
+                   CAST(r_regionkey * 200 AS DOUBLE) AS x1,
+                   CAST(n_nationkey * 40 AS DOUBLE) AS y1,
+                   CAST(r_regionkey * 200 + 200 AS DOUBLE) AS x2,
+                   CAST(n_nationkey * 40 + 40 AS DOUBLE) AS y2
+            FROM nation CROSS JOIN region
+        """,
+        "coverage_metric": f"""
+            WITH pred AS ({_BOXES_SQL}),
+            truth AS ({_TRUTH_SQL}),
+            per_box AS (
+              SELECT p.page_id AS pg, p.box_id,
+                     (p.x2-p.x1)*(p.y2-p.y1) AS area,
+                     coalesce(sum(
+                       greatest(0, least(p.x2,t.x2) - greatest(p.x1,t.x1))
+                     * greatest(0, least(p.y2,t.y2) - greatest(p.y1,t.y1))), 0)
+                       AS covered
+              FROM pred p LEFT JOIN truth t ON p.page_id = t.page_id
+              GROUP BY 1, 2, 3)
+            SELECT pg AS page_id, count(*) AS n_pred,
+                   CAST(sum(CASE WHEN covered / area > 0.5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_covered,
+                   round(CAST(sum(CASE WHEN covered / area > 0.5 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 6) AS precision
+            FROM per_box GROUP BY pg
+        """,
+        "confidence_normalize": f"""
+            WITH boxes AS ({_BOXES_SQL})
+            SELECT page_id, box_id,
+                   round(conf / max(conf) OVER (PARTITION BY page_id), 6)
+                     AS norm_conf
+            FROM boxes
+        """,
+        "text_profile": f"""
+            WITH base AS ({profile_base}),
+            h AS (SELECT doc_id, text, norm_text, n, alpha, punct, toks,
+                         {hits_sql}
+                  FROM base)
+            SELECT doc_id,
+                   CAST(toks AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '[a-z]{{1,4}}|[0-9]|[^a-z0-9\\s]')) AS BIGINT)
+                     AS n_bpe_tokens,
+                   {lang_sql} AS lang_pred,
+                   {quality_sql} AS quality,
+                   md5(norm_text) AS fp
+            FROM h
+        """,
+        "exact_dedup": f"""
+            WITH f AS (
+              SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents)
+            SELECT doc_id, fp,
+                   CAST(row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+                        AS BIGINT) AS dup_rank,
+                   row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+                     AS keep
+            FROM f
+        """,
+        "ngram_jaccard": jacc_pairs,
+        "language_rollup": f"""
+            WITH base AS ({profile_base}),
+            h AS (SELECT doc_id, n, alpha, punct, toks, {hits_sql} FROM base),
+            p AS (SELECT {lang_sql} AS lang_pred,
+                         {quality_sql} AS quality,
+                         CAST(toks AS BIGINT) AS n_tokens
+                  FROM h)
+            SELECT lang_pred, CAST(floor(quality * 5) AS INTEGER) AS q_band,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   round(avg(quality), 6) AS avg_quality
+            FROM p GROUP BY 1, 2
+        """,
+        "knn_bruteforce": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 10),
+            v AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS vv
+                  FROM embeddings),
+            s AS (SELECT query_id, neighbor_id,
+                         round(list_cosine_similarity(qv, vv), 6) AS cosine
+                  FROM v CROSS JOIN q),
+            r AS (SELECT *, CAST(row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+                  FROM s)
+            SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+        """,
+        "knn_ivf": """
+            WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+                       FROM embeddings WHERE vec_id < 8),
+            v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+            sc AS (SELECT v.vec_id, v.ev, c.centroid_id,
+                          round(list_cosine_similarity(ev, cv), 6) AS cc
+                   FROM v CROSS JOIN c),
+            asg AS (SELECT vec_id, ev, centroid_id AS cluster FROM (
+                      SELECT *, row_number() OVER (
+                        PARTITION BY vec_id
+                        ORDER BY cc DESC, centroid_id) AS rn
+                      FROM sc) WHERE rn = 1),
+            p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                         round(list_cosine_similarity(a.ev, b.ev), 6) AS cosine
+                  FROM asg a JOIN asg b
+                    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+            r AS (SELECT *, CAST(row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+                  FROM p)
+            SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 3
+        """,
+        "cosine_near_dup": """
+            SELECT id_a, id_b, cosine FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                       AS cosine
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id)
+            WHERE cosine >= 0.5
+        """,
+        # extract_pipeline / minhash_lsh / simhash_pairs / media_metadata:
+        # intentionally omitted — surrogate-UDF / hash-family ops are not
+        # ANSI-SQL-expressible; the driver records rows-only checks.
+    }

@@ -1,0 +1,87 @@
+"""Benchmark harness. Runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Every query is forced to full materialization with the noop sink (count()
+would let Catalyst prune the interesting work). The extraction pipeline
+runs on a synthetic interleaved-docs table scaled to the sf.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from surya_spark import datagen, pipeline  # noqa: E402
+from surya_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue_nations",
+    "order_priority_window",
+    "events_sessionize",
+    "clean_boxes",
+    "overlap_pairs",
+    "reading_order",
+    "coverage_metric",
+    "text_profile",
+    "exact_dedup",
+    "ngram_jaccard",
+    "minhash_lsh",
+    "simhash_pairs",
+    "knn_bruteforce",
+    "knn_ivf",
+]
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+    n_docs = max(50, int(10000 * sf))
+
+    spark = get_spark(app="surya_spark_bench", cores=cpus,
+                      shuffle_partitions=cpus)
+    qs = entry_mod.queries()
+    times: dict[str, float] = {}
+
+    for name in HEADLINE:
+        t0 = time.time()
+        materialize(qs[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    # flagship: end-to-end extraction, sf-scaled synthetic interleaved table
+    t0 = time.time()
+    docs = datagen.gen_documents(spark, n_docs)
+    blobs = datagen.gen_page_blobs(spark, n_docs)
+    materialize(pipeline.extract(docs, blobs, with_tables=True))
+    times["extract_pipeline"] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "extract_docs": n_docs,
+        "extract_docs_per_sec": round(n_docs / times["extract_pipeline"], 2),
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

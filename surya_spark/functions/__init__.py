@@ -1,1 +1,1 @@
-from . import geometry, text  # noqa: F401
+from . import geometry, metrics, text  # noqa: F401

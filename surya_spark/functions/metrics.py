@@ -1,0 +1,110 @@
+"""Benchmark metrics as Spark aggregates (SURVEY.md §5.2 Tier C).
+
+Re-expresses the reference's evaluation kernels —
+coverage precision/recall (/root/reference/benchmark/utils/metrics.py:113-168),
+pairwise rank accuracy (/root/reference/benchmark/utils/metrics.py:189-205),
+fuzzy overlap scoring (/root/reference/benchmark/utils/scoring.py:7-26) —
+as joins + groupBy aggregates, so a whole benchmark dataset is scored in
+one distributed pass instead of a Python loop per page.
+
+Box-frame convention: (key, box_id, x1, y1, x2, y2); `key` is the page /
+image grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import geometry as G
+
+
+def _cov(pred: DataFrame, ref: DataFrame, threshold: float,
+         penalize_double: bool) -> DataFrame:
+    """Per-pred-box coverage = sum of intersections with ref boxes / area;
+    optionally penalized by double-cover (the reference subtracts coverage
+    counted twice across ref boxes)."""
+    p, r = pred.alias("p"), ref.alias("r")
+    inter = G.intersection_area(
+        F.col("p.x1"), F.col("p.y1"), F.col("p.x2"), F.col("p.y2"),
+        F.col("r.x1"), F.col("r.y1"), F.col("r.x2"), F.col("r.y2"),
+    )
+    joined = p.join(r, F.col("p.key") == F.col("r.key"), "left").select(
+        F.col("p.key").alias("key"),
+        F.col("p.box_id").alias("box_id"),
+        G.area(F.col("p.x1"), F.col("p.y1"),
+               F.col("p.x2"), F.col("p.y2")).alias("area"),
+        F.coalesce(inter, F.lit(0.0)).alias("inter"),
+    )
+    per_box = joined.groupBy("key", "box_id", "area").agg(
+        F.sum("inter").alias("covered")
+    )
+    cov = F.when(F.col("area") > 0, F.col("covered") / F.col("area")).otherwise(0.0)
+    if penalize_double:
+        cov = F.least(cov, F.lit(1.0))
+    return per_box.select(
+        "key", "box_id", cov.alias("coverage"),
+        (cov > threshold).cast("int").alias("covered_flag"),
+    )
+
+
+def coverage_precision_recall(pred: DataFrame, ref: DataFrame,
+                              threshold: float = 0.5) -> DataFrame:
+    """Per-key precision (pred boxes covered by ref) and recall (ref boxes
+    covered by pred) — one row per key."""
+    prec = (
+        _cov(pred, ref, threshold, True)
+        .groupBy("key")
+        .agg((F.sum("covered_flag") / F.count(F.lit(1))).alias("precision"))
+    )
+    rec = (
+        _cov(ref, pred, threshold, True)
+        .groupBy("key")
+        .agg((F.sum("covered_flag") / F.count(F.lit(1))).alias("recall"))
+    )
+    return prec.join(rec, "key", "outer").fillna(0.0)
+
+
+def mean_iou_matched(pred: DataFrame, ref: DataFrame) -> DataFrame:
+    """Per-key mean of best-IoU per ref box (the relational core of the
+    reference's penalized IoU; the greedy 1-1 used for final reporting is
+    in operators/matching.py)."""
+    p, r = pred.alias("p"), ref.alias("r")
+    iou = G.iou(
+        F.col("p.x1"), F.col("p.y1"), F.col("p.x2"), F.col("p.y2"),
+        F.col("r.x1"), F.col("r.y1"), F.col("r.x2"), F.col("r.y2"),
+    )
+    joined = r.join(p, F.col("p.key") == F.col("r.key"), "left").select(
+        F.col("r.key").alias("key"),
+        F.col("r.box_id").alias("ref_id"),
+        F.coalesce(iou, F.lit(0.0)).alias("iou"),
+    )
+    best = joined.groupBy("key", "ref_id").agg(F.max("iou").alias("best_iou"))
+    return best.groupBy("key").agg(F.avg("best_iou").alias("mean_best_iou"))
+
+
+def rank_accuracy(pred_order: DataFrame, ref_order: DataFrame) -> DataFrame:
+    """Fraction of item pairs whose relative order matches the reference
+    (/root/reference/benchmark/utils/metrics.py:189-205) — a self-join per
+    key over (item_id, position) frames."""
+    j = pred_order.select(
+        "key", F.col("item_id").alias("i"), F.col("position").alias("pp")
+    ).join(
+        ref_order.select(
+            "key", F.col("item_id").alias("i"), F.col("position").alias("rp")
+        ),
+        ["key", "i"],
+    )
+    a, b = j.alias("a"), j.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.key") == F.col("b.key")) & (F.col("a.i") < F.col("b.i")),
+    ).select(
+        F.col("a.key").alias("key"),
+        (
+            (F.col("a.pp") < F.col("b.pp")) == (F.col("a.rp") < F.col("b.rp"))
+        ).cast("int").alias("ok"),
+    )
+    return pairs.groupBy("key").agg(
+        (F.sum("ok") / F.count(F.lit(1))).alias("pair_accuracy")
+    )

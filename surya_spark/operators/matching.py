@@ -1,0 +1,128 @@
+"""Sequential per-group kernels that plain SQL can't express (SURVEY.md
+§7.3): greedy 1-1 IoU assignment and transitive vertical-line merging.
+Both run as applyInPandas over a page-grain group — bounded group sizes,
+vectorized numpy inside, keyed shuffle outside.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MATCH_OUT = T.StructType([
+    T.StructField("key", T.StringType(), False),
+    T.StructField("pred_id", T.LongType(), False),
+    T.StructField("ref_id", T.LongType(), False),
+    T.StructField("iou", T.DoubleType(), False),
+])
+
+
+def greedy_iou_match(pred: DataFrame, ref: DataFrame) -> DataFrame:
+    """Greedy 1-1 matching: repeatedly take the highest-IoU unmatched
+    (pred, ref) pair — the reference's benchmark matcher
+    (/root/reference/benchmark/utils/metrics.py:23-60). Inherently
+    sequential per page → applyInPandas on the page key."""
+    p = pred.select("key", F.col("box_id").alias("pred_id"),
+                    "x1", "y1", "x2", "y2")
+    r = ref.select("key", F.col("box_id").alias("ref_id"),
+                   F.col("x1").alias("rx1"), F.col("y1").alias("ry1"),
+                   F.col("x2").alias("rx2"), F.col("y2").alias("ry2"))
+    both = p.join(r, "key", "inner")
+
+    def match(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf["key"].iloc[0]
+        preds = pdf[["pred_id", "x1", "y1", "x2", "y2"]].drop_duplicates(
+            "pred_id").to_numpy()
+        refs = pdf[["ref_id", "rx1", "ry1", "rx2", "ry2"]].drop_duplicates(
+            "ref_id").to_numpy()
+        if not len(preds) or not len(refs):
+            return pd.DataFrame(columns=[f.name for f in _MATCH_OUT])
+        px = preds[:, 1:].astype(float)
+        rx = refs[:, 1:].astype(float)
+        ix1 = np.maximum(px[:, None, 0], rx[None, :, 0])
+        iy1 = np.maximum(px[:, None, 1], rx[None, :, 1])
+        ix2 = np.minimum(px[:, None, 2], rx[None, :, 2])
+        iy2 = np.minimum(px[:, None, 3], rx[None, :, 3])
+        inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+        pa = (px[:, 2] - px[:, 0]) * (px[:, 3] - px[:, 1])
+        ra = (rx[:, 2] - rx[:, 0]) * (rx[:, 3] - rx[:, 1])
+        union = pa[:, None] + ra[None, :] - inter
+        iou = np.where(union > 0, inter / union, 0.0)
+        out = []
+        used_p: set[int] = set()
+        used_r: set[int] = set()
+        order = np.dstack(np.unravel_index(np.argsort(-iou, axis=None),
+                                           iou.shape))[0]
+        for pi, ri in order:
+            if iou[pi, ri] <= 0:
+                break
+            if pi in used_p or ri in used_r:
+                continue
+            used_p.add(pi)
+            used_r.add(ri)
+            out.append((key, int(preds[pi, 0]), int(refs[ri, 0]),
+                        float(iou[pi, ri])))
+        return pd.DataFrame(out, columns=[f.name for f in _MATCH_OUT])
+
+    return both.groupBy("key").applyInPandas(match, schema=_MATCH_OUT)
+
+
+_VLINE_OUT = T.StructType([
+    T.StructField("key", T.StringType(), False),
+    T.StructField("group_id", T.IntegerType(), False),
+    T.StructField("x1", T.DoubleType(), False),
+    T.StructField("y1", T.DoubleType(), False),
+    T.StructField("x2", T.DoubleType(), False),
+    T.StructField("y2", T.DoubleType(), False),
+    T.StructField("n_segments", T.IntegerType(), False),
+])
+
+
+def merge_vertical_lines(segments: DataFrame, x_tol: float = 12.0,
+                         y_margin: float = 4.0) -> DataFrame:
+    """Transitive merge of vertical segments at similar x with overlapping
+    y-intervals — union-find per page, mirroring
+    /root/reference/surya/detection/affinity.py:105-153. Input columns:
+    key, seg_id, x1, y1, x2, y2."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf["key"].iloc[0]
+        segs = pdf.sort_values("seg_id").reset_index(drop=True)
+        n = len(segs)
+        parent = list(range(n))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        xs = (segs["x1"].to_numpy() + segs["x2"].to_numpy()) / 2
+        y1 = segs["y1"].to_numpy()
+        y2 = segs["y2"].to_numpy()
+        for i in range(n):
+            for j in range(i + 1, n):
+                if abs(xs[i] - xs[j]) <= x_tol and (
+                    min(y2[i], y2[j]) + y_margin >= max(y1[i], y1[j])
+                ):
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[rj] = ri
+        roots = [find(i) for i in range(n)]
+        out = []
+        for gid, root in enumerate(sorted(set(roots))):
+            idx = [i for i, r in enumerate(roots) if r == root]
+            out.append((
+                key, gid,
+                float(segs["x1"].iloc[idx].min()),
+                float(segs["y1"].iloc[idx].min()),
+                float(segs["x2"].iloc[idx].max()),
+                float(segs["y2"].iloc[idx].max()),
+                len(idx),
+            ))
+        return pd.DataFrame(out, columns=[f.name for f in _VLINE_OUT])
+
+    return segments.groupBy("key").applyInPandas(merge, schema=_VLINE_OUT)

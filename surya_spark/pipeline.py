@@ -63,3 +63,51 @@ def extract(
         cells = tables.table_stage(regions, pages, ocr_lines, table_slot)
 
     return assemble.assemble_spans(documents, ocr_lines, cells)
+
+
+def checkpointed_extract(
+    spark,
+    documents: DataFrame,
+    page_blobs: DataFrame,
+    base_dir: str,
+    n_buckets: int = 16,
+    n_groups: int = 4,
+    max_groups: int | None = None,
+) -> DataFrame:
+    """Resumable variant: each model stage materializes bucket-partitioned
+    parquet with lineage (plans/checkpoint.py); a killed run re-invoked
+    with the same base_dir skips committed bucket groups. Stage grain
+    matches SURVEY.md §7.0 #4: checkpoint after every inference stage,
+    relational glue stays lazy."""
+    from .plans.checkpoint import CheckpointRunner
+
+    runner = CheckpointRunner(spark, base_dir, n_buckets, n_groups)
+
+    pages = runner.stage(
+        "pages", lambda: pages_for(documents, page_blobs),
+        bucket_key="media_ref", max_groups=max_groups,
+    )
+    ordered = runner.stage(
+        "lines",
+        lambda: reading_order.order_lines(detection.detection_stage(pages)),
+        bucket_key="media_ref", max_groups=max_groups,
+    )
+    ocr_lines = runner.stage(
+        "ocr_lines",
+        lambda: recognition.recognize(
+            recognition.slice_crops(
+                ordered.select("media_ref", "line_idx", "position",
+                               "x1", "y1", "x2", "y2"),
+                pages,
+            )
+        ),
+        bucket_key="media_ref", max_groups=max_groups,
+    )
+    cells = runner.stage(
+        "cells",
+        lambda: tables.table_stage(
+            layout.layout_stage(pages), pages, ocr_lines
+        ),
+        bucket_key="media_ref", max_groups=max_groups,
+    )
+    return assemble.assemble_spans(documents, ocr_lines, cells)

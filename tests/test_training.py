@@ -1,0 +1,126 @@
+"""Training-data operators: dedup family, similarity search, text stats,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from surya_spark import datagen
+from surya_spark.training import dedup, multimodal, similarity, textstats
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog", "a"),
+    (2, "The quick  brown fox jumps over the lazy dog", "a"),  # ws/case dup
+    (3, "the quick brown fox jumps over the lazy cat", "a"),   # near dup
+    (4, "completely different text about spark engines and shuffles", "a"),
+    (5, "der hund ist nicht auf der couch mit der katze", "b"),
+    (6, "le chat est dans la maison et le jardin", "b"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(DOCS, columns=["doc_id", "text", "source"])
+    )
+
+
+def test_exact_dedup(spark):
+    out = {r["doc_id"]: (r["dup_rank"], r["keep"])
+           for r in dedup.exact_dedup(_docs(spark)).collect()}
+    assert out[1] == (1, True)
+    assert out[2] == (2, False)  # same fingerprint after normalization
+    assert out[3] == (1, True)
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(
+                 _docs(spark), threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_pairs(spark):
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in dedup.minhash_lsh_pairs(
+                 _docs(spark), threshold=0.3).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_simhash_near_pairs(spark):
+    sim = dedup.simhash(_docs(spark))
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup.simhash_pairs(sim, max_dist=12).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert (1, 4) not in pairs
+
+
+def test_knn_and_near_dup(spark):
+    vecs = spark.createDataFrame(
+        pd.DataFrame({
+            "vec_id": [0, 1, 2, 3],
+            "embedding": [[1.0, 0.0], [0.99, 0.01], [0.0, 1.0], [-1.0, 0.0]],
+            "label": [0, 0, 1, 1],
+        })
+    )
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.knn_bruteforce(vecs, q, k=2).collect()
+    ranked = sorted([(r["rank"], r["neighbor_id"]) for r in out])
+    assert ranked[0] == (1, 0)   # self first (cosine 1)
+    assert ranked[1][1] == 1     # near vector second
+
+    nd = similarity.cosine_near_dup(vecs, threshold=0.9, block_col="label")
+    assert {(r["id_a"], r["id_b"]) for r in nd.collect()} == {(0, 1)}
+
+
+def test_knn_ivf_buckets(spark):
+    vecs = spark.createDataFrame(
+        pd.DataFrame({
+            "vec_id": list(range(6)),
+            "embedding": [[1.0, 0.0], [0.9, 0.1], [0.8, 0.05],
+                          [0.0, 1.0], [0.1, 0.9], [0.05, 0.95]],
+        })
+    )
+    cents = spark.createDataFrame(
+        pd.DataFrame({
+            "centroid_id": [0, 1],
+            "embedding": [[1.0, 0.0], [0.0, 1.0]],
+        })
+    )
+    out = similarity.knn_ivf(vecs, cents, k=2).collect()
+    for r in out:
+        same_side = (r["query_id"] < 3) == (r["neighbor_id"] < 3)
+        assert same_side  # neighbors only come from the same IVF bucket
+
+
+def test_text_profile_and_rollup(spark):
+    prof = {r["doc_id"]: r for r in textstats.text_profile(_docs(spark)).collect()}
+    assert prof[1]["lang_pred"] == "en"
+    assert prof[5]["lang_pred"] == "de"
+    assert prof[6]["lang_pred"] == "fr"
+    assert prof[1]["n_tokens"] == 9
+    assert 0.0 <= prof[1]["quality"] <= 1.0
+    assert prof[1]["fp"] == prof[2]["fp"]
+
+    roll = textstats.corpus_language_rollup(_docs(spark)).collect()
+    assert sum(r["n_docs"] for r in roll) == len(DOCS)
+
+
+def test_media_metadata_and_features(spark):
+    blobs = datagen.gen_page_blobs(spark, 10, partitions=2)
+    meta = multimodal.media_metadata(blobs)
+    rows = meta.collect()
+    assert rows and all(r["format"] == "spg1" for r in rows)
+    # width/height recovered from blob must match the blob table
+    chk = blobs.select("media_ref", F.col("width").alias("w0")).join(
+        meta.select("media_ref", "width"), "media_ref")
+    assert chk.filter(F.col("w0") != F.col("width")).count() == 0
+
+    feats = multimodal.media_features(blobs, dim=8).collect()
+    assert all(len(r["feature"]) == 8 for r in feats)
+    assert all(abs(sum(r["feature"]) - 1.0) < 1e-5 for r in feats)
