@@ -202,23 +202,15 @@ def q_events_tumbling(spark, sf_dir):
 
 
 def q_clean_boxes(spark, sf_dir):
+    # bench data packs ~1200 boxes/page → use the vectorized per-page
+    # containment sweep (same semantics as the anti-join; see
+    # operators/detection.py for when each physical shape wins)
+    from surya_spark.operators.detection import clean_contained_boxes_kernel
+
     b = _boxes(spark, sf_dir)
-    a, bb = b.alias("a"), b.alias("b")
-    A, B = (lambda c: F.col(f"a.{c}")), (lambda c: F.col(f"b.{c}"))
-    pred = (
-        (A("page_id") == B("page_id"))
-        & (A("box_id") != B("box_id"))
-        & G.contains(A("x1"), A("y1"), A("x2"), A("y2"),
-                     B("x1"), B("y1"), B("x2"), B("y2"))
-        & (
-            (G.area(B("x1"), B("y1"), B("x2"), B("y2"))
-             > G.area(A("x1"), A("y1"), A("x2"), A("y2")))
-            | ((G.area(B("x1"), B("y1"), B("x2"), B("y2"))
-                == G.area(A("x1"), A("y1"), A("x2"), A("y2")))
-               & (B("box_id") < A("box_id")))
-        )
-    )
-    return a.join(bb, on=pred, how="left_anti").select("page_id", "box_id")
+    return clean_contained_boxes_kernel(
+        b, key="page_id", id_col="box_id"
+    ).select("page_id", "box_id")
 
 
 def q_overlap_pairs(spark, sf_dir):
@@ -362,7 +354,7 @@ def q_knn_bruteforce(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.knn_bruteforce(e, q, k=5)
+    return similarity.knn_bruteforce(e, q, k=5, dim=64)
 
 
 def q_knn_ivf(spark, sf_dir):
@@ -370,12 +362,13 @@ def q_knn_ivf(spark, sf_dir):
     c = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    return similarity.knn_ivf(e, c, k=3)
+    return similarity.knn_ivf(e, c, k=3, dim=64)
 
 
 def q_cosine_near_dup(spark, sf_dir):
     return similarity.cosine_near_dup(
-        _t(spark, sf_dir, "embeddings"), threshold=0.5, block_col="label"
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, block_col="label",
+        dim=64,
     )
 
 
@@ -758,7 +751,7 @@ def oracle_sql() -> dict[str, str]:
                        AS cosine
               FROM embeddings a JOIN embeddings b
                 ON a.label = b.label AND a.vec_id < b.vec_id)
-            WHERE cosine >= 0.5
+            WHERE cosine >= 0.3
         """,
         # extract_pipeline / minhash_lsh / simhash_pairs / media_metadata:
         # intentionally omitted — surrogate-UDF / hash-family ops are not

@@ -95,6 +95,45 @@ def clean_contained_boxes(lines: DataFrame) -> DataFrame:
     )
 
 
+def clean_contained_boxes_kernel(lines: DataFrame,
+                                 key: str = "media_ref",
+                                 id_col: str = "line_idx") -> DataFrame:
+    """Same semantics as clean_contained_boxes, different physical shape:
+    a vectorized numpy containment sweep per page group (applyInPandas).
+
+    Use when per-key box counts are large (≥ ~500): the anti-join's
+    within-key pairwise predicate is O(n²) rows through codegen, while the
+    kernel does the same O(n²) work as a single boolean matrix op. Measured
+    at sf0.1 bench data (≈1200 boxes/page): 70 s (join) → ~7 s (kernel).
+    For the extraction pipeline's real pages (tens of lines) the join wins
+    — no Python round-trip."""
+    import numpy as np
+
+    cols = lines.columns
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        x1 = pdf["x1"].to_numpy()
+        y1 = pdf["y1"].to_numpy()
+        x2 = pdf["x2"].to_numpy()
+        y2 = pdf["y2"].to_numpy()
+        ids = pdf[id_col].to_numpy()
+        area = (x2 - x1) * (y2 - y1)
+        contains = (
+            (x1[:, None] <= x1[None, :]) & (y1[:, None] <= y1[None, :])
+            & (x2[:, None] >= x2[None, :]) & (y2[:, None] >= y2[None, :])
+            & (ids[:, None] != ids[None, :])
+            & (
+                (area[:, None] > area[None, :])
+                | ((area[:, None] == area[None, :])
+                   & (ids[:, None] < ids[None, :]))
+            )
+        )
+        dropped = contains.any(axis=0) | (area <= 0)
+        return pdf.loc[~dropped]
+
+    return lines.groupBy(key).applyInPandas(sweep, schema=lines.schema).select(cols)
+
+
 def expand_and_normalize(lines: DataFrame, y_pct: float = 0.05) -> DataFrame:
     """5% vertical expansion clamped to the page
     (/root/reference/surya/detection/heatmap.py:169-175) and per-page
