@@ -349,6 +349,22 @@ def q_language_rollup(spark, sf_dir):
     return textstats.corpus_language_rollup(_t(spark, sf_dir, "documents"))
 
 
+def q_ocr_error_labels(spark, sf_dir):
+    from surya_spark.operators import ocr_error
+
+    d = _t(spark, sf_dir, "documents")
+    return ocr_error.classify_spans(d).select("doc_id", "ocr_label")
+
+
+def q_ocr_error_vote(spark, sf_dir):
+    from surya_spark.operators import ocr_error
+
+    d = _t(spark, sf_dir, "documents")
+    labeled = ocr_error.classify_spans(d)
+    # vote grouped by source (the "document" grain of this corpus table)
+    return ocr_error.doc_bad_vote(labeled, doc_col="source")
+
+
 def q_knn_bruteforce(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10).select(
@@ -441,6 +457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "language_rollup": q_language_rollup,
+        "ocr_error_labels": q_ocr_error_labels,
+        "ocr_error_vote": q_ocr_error_vote,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
         "cosine_near_dup": q_cosine_near_dup,
@@ -694,6 +712,32 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "ngram_jaccard": jacc_pairs,
+        "ocr_error_labels": """
+            SELECT doc_id,
+                   CASE WHEN length(text) > 0
+                         AND CAST(length(regexp_replace(
+                               text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                             / length(text) >= 0.7
+                        THEN 'good' ELSE 'bad' END AS ocr_label
+            FROM documents
+        """,
+        "ocr_error_vote": """
+            WITH l AS (
+              SELECT source,
+                     CASE WHEN length(text) > 0
+                           AND CAST(length(regexp_replace(
+                                 text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                               / length(text) >= 0.7
+                          THEN 'good' ELSE 'bad' END AS ocr_label
+              FROM documents)
+            SELECT source,
+                   round(avg(CASE WHEN ocr_label = 'bad' THEN 1.0
+                                  ELSE 0.0 END), 6) AS bad_frac,
+                   count(*) AS n_spans,
+                   round(avg(CASE WHEN ocr_label = 'bad' THEN 1.0
+                                  ELSE 0.0 END), 6) > 0.2 AS is_bad_doc
+            FROM l GROUP BY source
+        """,
         "language_rollup": f"""
             WITH base AS ({profile_base}),
             h AS (SELECT doc_id, n, alpha, punct, toks, {hits_sql} FROM base),

@@ -23,17 +23,31 @@ from pyspark.sql import functions as F
 
 from .operators import assemble, detection, layout, reading_order, recognition
 from .operators import slots, tables
+from .plans import partitioning
 
 
-def pages_for(documents: DataFrame, page_blobs: DataFrame) -> DataFrame:
+def pages_for(documents: DataFrame, page_blobs: DataFrame,
+              pack_partitions: int | None = None) -> DataFrame:
     """Media spans joined to their blobs. media_ref is unique per page, so
-    this is a plain equi-join; blobs are the big side and stay put."""
+    this is a plain equi-join; blobs are the big side and stay put.
+
+    With pack_partitions set, pages are range-packed by split cost
+    (ceil(height/1400)) so inference tasks see uniform weight — the Spark
+    analog of the reference's cost-based GPU batch packing."""
     refs = (
         assemble.explode_spans(documents)
         .filter(F.col("kind").isin("page", "table"))
         .select("media_ref")
     )
-    return page_blobs.join(refs, "media_ref", "left_semi")
+    pages = page_blobs.join(refs, "media_ref", "left_semi")
+    if pack_partitions:
+        pages = partitioning.pack_by_cost(
+            pages.withColumn(
+                "_cost", partitioning.page_cost(F.col("height"))
+            ),
+            "_cost", pack_partitions, tiebreak="media_ref",
+        ).drop("_cost")
+    return pages
 
 
 def extract(
@@ -44,8 +58,9 @@ def extract(
     recognize_slot=slots.surrogate_recognize,
     layout_slot=slots.surrogate_layout,
     table_slot=slots.surrogate_table,
+    pack_partitions: int | None = None,
 ) -> DataFrame:
-    pages = pages_for(documents, page_blobs)
+    pages = pages_for(documents, page_blobs, pack_partitions)
 
     lines = detection.detection_stage(pages, detect_slot)
     ordered = reading_order.order_lines(lines)

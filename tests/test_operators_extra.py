@@ -1,0 +1,151 @@
+"""Matching kernels, metrics aggregates, partitioning utils, sources/sinks,
+OCR-error stage, word assembly."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from surya_spark import datagen, pipeline
+from surya_spark.functions import metrics
+from surya_spark.operators import matching, ocr_error, recognition
+from surya_spark.plans import partitioning
+from surya_spark.sources import files, json_sink
+
+
+def _boxes(spark, rows, cols=("key", "box_id", "x1", "y1", "x2", "y2")):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=list(cols)))
+
+
+def test_greedy_iou_match(spark):
+    pred = _boxes(spark, [("p", 1, 0.0, 0.0, 10.0, 10.0),
+                          ("p", 2, 20.0, 0.0, 30.0, 10.0),
+                          ("p", 3, 50.0, 50.0, 60.0, 60.0)])
+    ref = _boxes(spark, [("p", 11, 1.0, 0.0, 11.0, 10.0),
+                         ("p", 12, 19.0, 0.0, 29.0, 10.0)])
+    m = {(r["pred_id"], r["ref_id"]): r["iou"]
+         for r in matching.greedy_iou_match(pred, ref).collect()}
+    assert set(m) == {(1, 11), (2, 12)}
+    assert all(v > 0.5 for v in m.values())
+
+
+def test_merge_vertical_lines(spark):
+    segs = spark.createDataFrame(pd.DataFrame(
+        [("p", 0, 100.0, 0.0, 102.0, 50.0),
+         ("p", 1, 101.0, 45.0, 103.0, 90.0),   # overlaps 0 at same x
+         ("p", 2, 100.0, 92.0, 102.0, 140.0),  # within y_margin of 1
+         ("p", 3, 400.0, 0.0, 402.0, 90.0)],   # far x → separate
+        columns=["key", "seg_id", "x1", "y1", "x2", "y2"]))
+    out = matching.merge_vertical_lines(segs, x_tol=12.0, y_margin=4.0)
+    rows = out.collect()
+    assert len(rows) == 2
+    big = max(rows, key=lambda r: r["n_segments"])
+    assert big["n_segments"] == 3
+    assert big["y1"] == 0.0 and big["y2"] == 140.0
+
+
+def test_coverage_and_rank_metrics(spark):
+    pred = _boxes(spark, [("p", 1, 0.0, 0.0, 10.0, 10.0),
+                          ("p", 2, 100.0, 100.0, 110.0, 110.0)])
+    ref = _boxes(spark, [("p", 1, 0.0, 0.0, 10.0, 10.0)])
+    pr = metrics.coverage_precision_recall(pred, ref).collect()[0]
+    assert pr["precision"] == 0.5 and pr["recall"] == 1.0
+
+    pred_o = spark.createDataFrame(
+        pd.DataFrame([("p", 1, 1), ("p", 2, 2), ("p", 3, 3)],
+                     columns=["key", "item_id", "position"]))
+    ref_o = spark.createDataFrame(
+        pd.DataFrame([("p", 1, 1), ("p", 2, 3), ("p", 3, 2)],
+                     columns=["key", "item_id", "position"]))
+    acc = metrics.rank_accuracy(pred_o, ref_o).collect()[0]["pair_accuracy"]
+    assert abs(acc - 2 / 3) < 1e-9
+
+
+def test_assemble_words(spark):
+    ocr = spark.createDataFrame(pd.DataFrame({
+        "media_ref": ["m"], "line_idx": [0],
+        "chars": [[
+            {"text": "h", "x1": 0.0, "y1": 0.0, "x2": 5.0, "y2": 10.0,
+             "confidence": 1.0, "bbox_valid": True},
+            {"text": "i", "x1": 5.0, "y1": 0.0, "x2": 10.0, "y2": 10.0,
+             "confidence": 1.0, "bbox_valid": True},
+            {"text": " ", "x1": 10.0, "y1": 0.0, "x2": 12.0, "y2": 10.0,
+             "confidence": 1.0, "bbox_valid": True},
+            {"text": "yo", "x1": 12.0, "y1": 0.0, "x2": 20.0, "y2": 10.0,
+             "confidence": 1.0, "bbox_valid": True},
+        ]],
+    }))
+    words = recognition.assemble_words(ocr).orderBy("word_idx").collect()
+    assert [w["word"] for w in words] == ["hi", "yo"]
+    assert words[0]["x1"] == 0.0 and words[0]["x2"] == 10.0
+    assert words[1]["x1"] == 12.0
+
+
+def test_ocr_error_stage(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["a", "a", "b"],
+        "text": ["clean readable text here",
+                 "@#$%^&*()!!~~``{{}}||\\//", ""],
+    }))
+    labeled = ocr_error.classify_spans(df)
+    out = {(r["doc_id"], r["text"][:5]): r["ocr_label"]
+           for r in labeled.collect()}
+    assert out[("a", "clean")] == "good"
+    assert out[("a", "@#$%^")] == "bad"
+    vote = {r["doc_id"]: r["is_bad_doc"]
+            for r in ocr_error.doc_bad_vote(labeled).collect()}
+    assert vote["a"] is True and vote["b"] is True
+
+
+def test_partitioning_utils(spark):
+    pages = spark.createDataFrame(pd.DataFrame({
+        "media_ref": [f"m{i}" for i in range(10)],
+        "height": [1024] * 8 + [4096, 4096],
+    }))
+    with_cost = pages.withColumn(
+        "cost", partitioning.page_cost(F.col("height")))
+    costs = {r["media_ref"]: r["cost"] for r in with_cost.collect()}
+    assert costs["m0"] == 1 and costs["m8"] == 3
+
+    packed = partitioning.pack_by_cost(with_cost, "cost", 2, "media_ref")
+    assert packed.rdd.getNumPartitions() == 2
+
+    agg = partitioning.two_phase_agg(
+        with_cost.withColumn("doc", F.lit("d")), key="doc",
+        cost_col="cost", child="media_ref",
+        aggs=[("height", "sum"), ("height", "max")],
+        max_cost_per_salt=2,
+    ).collect()[0]
+    assert agg["height_sum"] == 8 * 1024 + 2 * 4096
+    assert agg["height_max"] == 4096
+
+
+def test_page_range_and_folder_scan(spark, tmp_path):
+    assert files.parse_page_range("0,5-7,3") == [0, 3, 5, 6, 7]
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.spg").write_bytes(b"SPG1xxxx")
+    (d / ".hidden.spg").write_bytes(b"nope")
+    (d / "b.png").write_bytes(b"\x89PNG")
+    out = files.load_media_folder(spark, str(d), glob="*.{spg,png}")
+    rows = {r["media_ref"].split("/")[-1]: r for r in out.collect()}
+    assert set(rows) == {"a.spg", "b.png"}
+    assert rows["a.spg"]["ext"] == "spg"
+    assert bytes(rows["b.png"]["img_bytes"]) == b"\x89PNG"
+
+
+def test_json_sink_roundtrip(spark, tmp_path):
+    docs = datagen.gen_documents(spark, 8, partitions=2)
+    blobs = datagen.gen_page_blobs(spark, 8, partitions=2)
+    out = pipeline.extract(docs, blobs, with_tables=True)
+    path = str(tmp_path / "results")
+    json_sink.write_results_json(out, path, n_files=1)
+    lines = []
+    for p in (tmp_path / "results").glob("*.json"):
+        lines += [json.loads(l) for l in p.read_text().splitlines()]
+    assert len(lines) == 8
+    one = lines[0]
+    assert {"doc_id", "n_spans", "n_media", "spans"} <= set(one)
+    assert one["n_spans"] == len(one["spans"])
