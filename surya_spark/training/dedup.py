@@ -17,6 +17,44 @@ from pyspark.sql import types as T
 from ..functions import text as TX
 
 
+def shingle_id_rows(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 3,
+                    extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Flat (doc_id, [extra...], s) rows of DISTINCT hashed word k-shingles.
+
+    Physical shape chosen by measurement: posexplode tokens → lead(k−1)
+    window → xxhash64(tok, lead1, …) → dropDuplicates. Every step is
+    whole-stage-codegen; the array-valued transform() formulation of the
+    same thing evaluates interpreted and ran ~10× slower at sf0.1.
+    Short docs (< k tokens) contribute one whole-text shingle, matching
+    TX.shingles/shingle_ids semantics exactly."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in extra_cols],
+        TX.tokenize_ws(TX.normalize_text(F.col(text_col))).alias("toks"),
+    )
+    ex = base.select(
+        "doc_id", *extra_cols,
+        F.size("toks").alias("nt"),
+        F.array_join("toks", " ").alias("joined"),
+        F.posexplode("toks").alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, k)]
+    sid = F.when(
+        F.col("nt") >= k, F.xxhash64(F.col("tok"), *leads)
+    ).otherwise(F.xxhash64(F.col("joined")))
+    keep = ((F.col("nt") >= k) & (F.col("pos") <= F.col("nt") - k)) | (
+        (F.col("nt") < k) & (F.col("pos") == 0)
+    )
+    return (
+        ex.withColumn("s", sid)
+        .filter(keep)
+        .select("doc_id", *extra_cols, "s")
+        .dropDuplicates(["doc_id", "s"])
+    )
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Exact near-dup via content fingerprint (md5 of normalized text):
@@ -42,18 +80,19 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     |A∩B|; |A∪B| = |A|+|B|−|A∩B|.
 
     Only pairs that SHARE a shingle are ever materialized — the
-    all-pairs-within-block array-intersection variant was measured ~10×
-    slower at sf0.1 (82 s → 8 s) and degrades quadratically with block
-    size, while this shape scales with shingle co-occurrence. The shuffle
-    key is (block, shingle); a stop-shingle cap would bound hot shingles
-    at corpus scale."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(block_col).alias("block"),
-        TX.shingles(F.col(text_col), k).alias("sh"),
-    )
-    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    ex = sh.select("doc_id", "block", F.explode("sh").alias("s"))
+    all-pairs-within-block array-intersection variant degrades
+    quadratically with block size, while this shape scales with shingle
+    co-occurrence. Shingles travel as hashed 64-bit ids (shingle_ids) and
+    each side's set size rides along the exploded rows, so the whole
+    operator is one self-join + one groupBy — no extra size joins, no
+    string shuffles. The shuffle key is (block, shingle id); a
+    stop-shingle cap would bound hot shingles at corpus scale."""
+    rows = shingle_id_rows(docs, text_col, id_col, k,
+                           extra_cols=(block_col,))
+    ex = rows.withColumn(
+        "n",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).cast("double"),
+    ).withColumnRenamed(block_col, "block")
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(
@@ -66,17 +105,15 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .agg(F.count(F.lit(1)).cast("double").alias("n_inter"))
-    )
-    joined = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
-                   .withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_inter"),
+            F.first(F.col("a.n")).alias("n_a"),
+            F.first(F.col("b.n")).alias("n_b"),
+        )
     )
     union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
     jac = F.when(union > 0, F.col("n_inter") / union).otherwise(F.lit(0.0))
-    return joined.select(
+    return inter.select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
 
@@ -85,16 +122,13 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3,
                        n_hashes: int = 64) -> DataFrame:
     """MinHash signature per doc: sig[i] = min over shingles of
-    xxhash64(shingle, i).
+    xxhash64(shingle_id, i).
 
-    Physical form: explode shingles → one groupBy with n_hashes min()
-    aggregates → array. All JVM/codegen; the naive alternative (nested
-    higher-order transforms over the shingle array) falls out of
+    Physical form: explode hashed shingle ids → one groupBy with n_hashes
+    min() aggregates → array. All JVM/codegen; the naive alternative
+    (nested higher-order transforms over the shingle array) falls out of
     whole-stage codegen and runs ~50× slower — measured, not guessed."""
-    ex = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(TX.shingles(F.col(text_col), k)).alias("s"),
-    )
+    ex = shingle_id_rows(docs, text_col, id_col, k)
     aggs = [
         F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
         for i in range(n_hashes)
@@ -151,9 +185,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         )
         .distinct()
     )
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        TX.shingles(F.col(text_col), k).alias("sh"),
+    sh = shingle_id_rows(docs, text_col, id_col, k).groupBy("doc_id").agg(
+        F.collect_list("s").alias("sh")
     )
     verified = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a")

@@ -127,7 +127,11 @@ def knn_ivf(vectors: DataFrame, centroids: DataFrame, k: int = 3,
     """Approximate within-cluster top-k neighbors for every vector: assign
     clusters, then self-join equi on cluster. The pairwise work is bounded
     per bucket — the LSH/IVF analogue for embeddings."""
-    assigned = assign_clusters(vectors, centroids, id_col, vec_col, dim=dim)
+    # both sides of the pair join derive from the assignment; without an
+    # explicit persist Spark re-executes the whole assign stage per side
+    # (different projections → no exchange reuse) — measured 2× cost
+    assigned = assign_clusters(vectors, centroids, id_col, vec_col,
+                               dim=dim).persist()
     withn = with_norm(assigned, vec_col, "_n", dim)
     a = withn.select(
         F.col(id_col).alias("query_id"),
