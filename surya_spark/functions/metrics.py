@@ -59,33 +59,29 @@ def coverage_per_box_kernel(pred: DataFrame, ref: DataFrame) -> DataFrame:
     from pyspark.sql import types as T
 
     p = pred.select("key", "box_id", "x1", "y1", "x2", "y2")
-    r = ref.select(
-        "key", F.col("x1").alias("rx1"), F.col("y1").alias("ry1"),
-        F.col("x2").alias("rx2"), F.col("y2").alias("ry2"),
-    )
-    both = p.join(
-        r.groupBy("key").agg(
-            F.collect_list(F.struct("rx1", "ry1", "rx2", "ry2")).alias("refs")
-        ),
-        "key", "left",
-    ).select("key", "box_id", "x1", "y1", "x2", "y2", "refs")
+    r = ref.select("key", "x1", "y1", "x2", "y2")
 
     out_schema = T.StructType([
-        both.schema["key"],
-        both.schema["box_id"],
+        p.schema["key"],
+        p.schema["box_id"],
         T.StructField("area", T.DoubleType(), False),
         T.StructField("covered", T.DoubleType(), False),
     ])
 
-    def sweep(pdf: pd.DataFrame):
+    # COGROUP, not join: joining a collect_list of refs onto every pred row
+    # replicates the ref set per box (|pred|×|ref| structs through the
+    # shuffle — measured 196 s at sf0.1). Cogrouping ships each side once
+    # per key and the kernel does the |pred|×|ref| work as one numpy op
+    # (4 s at sf0.1).
+    def sweep(pdf: pd.DataFrame, rdf: pd.DataFrame):
+        if not len(pdf):
+            return pd.DataFrame(columns=[f.name for f in out_schema])
         px = pdf[["x1", "y1", "x2", "y2"]].to_numpy(dtype=float)
         area = (px[:, 2] - px[:, 0]) * (px[:, 3] - px[:, 1])
-        refs = pdf["refs"].iloc[0]
-        if refs is None or len(refs) == 0:
+        if not len(rdf):
             covered = np.zeros(len(pdf))
         else:
-            rx = np.array([[t["rx1"], t["ry1"], t["rx2"], t["ry2"]]
-                           for t in refs], dtype=float)
+            rx = rdf[["x1", "y1", "x2", "y2"]].to_numpy(dtype=float)
             ix = np.clip(
                 np.minimum(px[:, None, 2], rx[None, :, 2])
                 - np.maximum(px[:, None, 0], rx[None, :, 0]), 0, None)
@@ -98,7 +94,11 @@ def coverage_per_box_kernel(pred: DataFrame, ref: DataFrame) -> DataFrame:
             "area": area, "covered": covered,
         })
 
-    return both.groupBy("key").applyInPandas(sweep, schema=out_schema)
+    return (
+        p.groupBy("key")
+        .cogroup(r.groupBy("key"))
+        .applyInPandas(sweep, schema=out_schema)
+    )
 
 
 def coverage_precision_recall(pred: DataFrame, ref: DataFrame,
