@@ -94,21 +94,29 @@ _OCR_OUT = T.StructType([
 
 
 def recognize(crops: DataFrame,
-              slot: Callable = slots.surrogate_recognize) -> DataFrame:
+              slot: Callable = slots.surrogate_recognize,
+              task: str = "ocr_with_boxes") -> DataFrame:
     """crop blobs → ocr_lines. Width-descending sort within partitions
     mirrors the reference's batch admission order
     (/root/reference/surya/recognition/__init__.py:847-854) — a physical
-    optimization only; result order is re-pinned by explicit keys."""
+    optimization only; result order is re-pinned by explicit keys.
+
+    task: per-stage decode mode (a plan-time parameter, not data — same as
+    the reference's TaskNames routing, recognition/__init__.py:86-102). A
+    per-row 'task' column on crops overrides it."""
     sorted_crops = crops.sortWithinPartitions((F.col("x2") - F.col("x1")).desc())
+    has_task_col = "task" in crops.columns
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for ref, li, pos, x1, y1, x2, y2, blob in zip(
+            tasks = pdf["task"] if has_task_col else [task] * len(pdf)
+            for ref, li, pos, x1, y1, x2, y2, blob, tk in zip(
                 pdf["media_ref"], pdf["line_idx"], pdf["position"],
-                pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"], pdf["crop_bytes"]
+                pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"],
+                pdf["crop_bytes"], tasks,
             ):
-                r = slot(bytes(blob))
+                r = slot(bytes(blob), tk)
                 # shift chars from crop space back into page coords and clamp
                 # to the line bbox (/root/reference/surya/recognition/__init__.py:906-914)
                 chars = [
@@ -133,6 +141,41 @@ def recognize(crops: DataFrame,
                 {f.name: pd.Series([], dtype=object) for f in _OCR_OUT})
 
     return sorted_crops.mapInPandas(run, schema=_OCR_OUT)
+
+
+def recognize_given_boxes(boxes: DataFrame, pages: DataFrame,
+                          slot: Callable = slots.surrogate_recognize,
+                          task: str = "ocr_with_boxes") -> DataFrame:
+    """The parity-critical library mode: caller supplies line bboxes and
+    skips detection (/root/reference/surya/recognition/__init__.py:773-942
+    with bboxes=; used by the recognition benchmark and LaTeX OCR).
+    boxes: (media_ref, line_idx, x1, y1, x2, y2[, position])."""
+    if "position" not in boxes.columns:
+        w = Window.partitionBy("media_ref").orderBy("y1", "x1", "line_idx")
+        boxes = boxes.withColumn("position", F.row_number().over(w))
+    crops = slice_crops(
+        boxes.select("media_ref", "line_idx", "position",
+                     "x1", "y1", "x2", "y2"),
+        pages,
+    )
+    return recognize(crops, slot, task)
+
+
+def recognize_blocks(pages: DataFrame,
+                     slot: Callable = slots.surrogate_recognize) -> DataFrame:
+    """LaTeX-OCR entry: the whole page is one box, decoded in
+    block_without_boxes mode → <math>-wrapped text
+    (/root/reference/ocr_latex.py, scripts/ocr_latex.py:23-31)."""
+    boxes = pages.select(
+        "media_ref",
+        F.lit(0).alias("line_idx"),
+        F.lit(1).alias("position"),
+        F.lit(0.0).alias("x1"), F.lit(0.0).alias("y1"),
+        F.col("width").cast("double").alias("x2"),
+        F.col("height").cast("double").alias("y2"),
+    )
+    crops = slice_crops(boxes, pages)
+    return recognize(crops, slot, task="block_without_boxes")
 
 
 def line_confidence(ocr_lines: DataFrame) -> DataFrame:

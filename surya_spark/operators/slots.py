@@ -85,11 +85,19 @@ def decode_crop(blob: bytes) -> dict:
 
 
 # ---------------------------------------------------------------- recognition
-def surrogate_recognize(crop_bytes: bytes) -> dict:
+def surrogate_recognize(crop_bytes: bytes,
+                        task: str = "ocr_with_boxes") -> dict:
     """crop blob → (text, chars, confidence). Picks the truth line covering
     the largest share of the crop; chars get evenly-divided boxes, like the
     reference's per-token bbox head output
-    (/root/reference/surya/recognition/__init__.py:609-771)."""
+    (/root/reference/surya/recognition/__init__.py:609-771).
+
+    Tasks mirror /root/reference/surya/common/surya/schema.py:1-11:
+      ocr_with_boxes     — text + char boxes (default)
+      ocr_without_boxes  — text only; char bboxes marked invalid
+      block_without_boxes— whole-block decode, output wrapped <math>…</math>
+                           (the LaTeX OCR mode, scripts/ocr_latex.py:23-31)
+    """
     desc = decode_crop(crop_bytes)
     _, _, cw, ch = desc["crop"]
     best, best_cover = None, -1.0
@@ -102,17 +110,20 @@ def surrogate_recognize(crop_bytes: bytes) -> dict:
     if best is None:
         return {"text": "", "chars": [], "confidence": 0.0}
     text = best["text"]
+    if task == "block_without_boxes" and not text.startswith("<math>"):
+        text = f"<math>{text}</math>"
     x1, y1, x2, y2 = best["bbox"]
     n = max(1, len(text))
     cw_char = (x2 - x1) / n
     rng = _rng(SEED, "rec", text)
     conf = float(0.9 + 0.1 * rng.rand())
+    boxes_valid = task == "ocr_with_boxes"
     chars = [
         {
             "text": text[i],
             "x1": x1 + i * cw_char, "y1": y1,
             "x2": x1 + (i + 1) * cw_char, "y2": y2,
-            "confidence": conf, "bbox_valid": True,
+            "confidence": conf, "bbox_valid": boxes_valid,
         }
         for i in range(len(text))
     ]

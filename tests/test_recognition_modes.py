@@ -1,0 +1,60 @@
+"""Recognition task modes: given-boxes API, block/LaTeX mode, math tag
+semantics (mirrors /root/reference/tests/test_latex_ocr.py and the
+bboxes= mode of test_recognition.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from surya_spark import datagen, pipeline
+from surya_spark.functions import text as TX
+from surya_spark.operators import recognition
+
+
+def _pages(spark, n=12):
+    docs = datagen.gen_documents(spark, n, partitions=2)
+    blobs = datagen.gen_page_blobs(spark, n, partitions=2)
+    return pipeline.pages_for(docs, blobs)
+
+
+def test_recognize_given_boxes_matches_truth(spark):
+    pages = _pages(spark)
+    # feed TRUTH boxes (skip detection) — the benchmark mode
+    rows = pages.limit(3).collect()
+    truth = []
+    for r in rows:
+        desc = datagen.decode_page(bytes(r["img_bytes"]))
+        for i, ln in enumerate(desc["lines"]):
+            truth.append((r["media_ref"], i, *[float(v) for v in ln["bbox"]],
+                          ln["text"]))
+    if not truth:
+        return
+    boxes = spark.createDataFrame(
+        [(t[0], t[1], t[2], t[3], t[4], t[5]) for t in truth],
+        "media_ref string, line_idx int, x1 double, y1 double, "
+        "x2 double, y2 double",
+    )
+    out = {(r["media_ref"], r["line_idx"]): r["text"]
+           for r in recognition.recognize_given_boxes(boxes, pages).collect()}
+    for t in truth:
+        assert out[(t[0], t[1])] == t[6]
+
+
+def test_recognize_blocks_math_wrap(spark):
+    pages = _pages(spark).limit(2)
+    out = recognition.recognize_blocks(pages).collect()
+    for r in out:
+        assert r["text"].startswith("<math>") and r["text"].endswith("</math>")
+        assert all(not c["bbox_valid"] for c in r["chars"])
+
+
+def test_unwrap_math_expr(spark):
+    df = spark.createDataFrame(
+        [("<math>a + b</math>",), ("<math>\\frac{a}{b}</math>",), ("plain",)],
+        "t string",
+    )
+    out = [r["u"] for r in df.select(
+        TX.unwrap_math(F.col("t")).alias("u")).collect()]
+    assert out[0] == "a + b"            # no latex symbols → unwrapped
+    assert out[1].startswith("<math>")  # latex body → kept wrapped
+    assert out[2] == "plain"

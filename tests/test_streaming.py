@@ -1,0 +1,49 @@
+"""Structured Streaming surface: incremental extract via foreachBatch with
+exactly-once file-source bookkeeping, and watermarked windowed aggs."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from surya_spark import datagen
+from surya_spark.streaming import ingest
+
+
+def test_stream_extract_incremental(spark, tmp_path):
+    docs_dir = str(tmp_path / "docs_in")
+    out_path = str(tmp_path / "out_spans")
+    ckpt = str(tmp_path / "ckpt")
+    blobs = datagen.gen_page_blobs(spark, 20, partitions=2)
+
+    all_docs = datagen.gen_documents(spark, 20, partitions=2)
+    first = all_docs.filter("doc_id < 'doc-000000010'")
+    second = all_docs.filter("doc_id >= 'doc-000000010'")
+
+    first.write.mode("overwrite").parquet(docs_dir)
+    q = ingest.stream_extract(spark, docs_dir, blobs, out_path, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out_path).count()
+    assert n1 == 10
+
+    # second batch of files lands; restart processes ONLY the new ones
+    second.write.mode("append").parquet(docs_dir)
+    q = ingest.stream_extract(spark, docs_dir, blobs, out_path, ckpt)
+    q.awaitTermination(120)
+    out = spark.read.parquet(out_path)
+    assert out.count() == 20
+    assert out.select("doc_id").distinct().count() == 20
+
+
+def test_windowed_event_counts_static(spark):
+    e = spark.createDataFrame(pd.DataFrame({
+        "ts": pd.to_datetime([
+            "2024-01-01 00:10:00", "2024-01-01 00:40:00",
+            "2024-01-01 01:05:00",
+        ]),
+        "event_type": ["a", "a", "a"],
+        "value": [1.0, 2.0, 3.0],
+    }))
+    rows = {str(r["window_start"]): r["n"]
+            for r in ingest.windowed_event_counts(e).collect()}
+    assert rows["2024-01-01 00:00:00"] == 2
+    assert rows["2024-01-01 01:00:00"] == 1

@@ -18,32 +18,7 @@ import os
 import subprocess
 import sys
 
-WORKER = r"""
-import json, sys, time, os
-sys.path.insert(0, os.path.dirname(os.path.abspath("{repo}")))
-sys.path.insert(0, "{repo}")
-from surya_spark import datagen, pipeline
-from surya_spark.session import get_spark
 
-cores = int(sys.argv[1]); n_docs = int(sys.argv[2])
-spark = get_spark(app=f"scale_bench_{{cores}}", cores=cores,
-                  shuffle_partitions=cores)
-# generate input once, materialized to parquet so both levels read the
-# exact same bytes
-inp = sys.argv[3]
-docs = spark.read.parquet(f"{{inp}}/documents_spans.parquet")
-blobs = spark.read.parquet(f"{{inp}}/page_blobs.parquet")
-# warmup (JVM/codegen) on a small slice
-pipeline.extract(docs.limit(20), blobs, with_tables=True) \
-    .write.mode("overwrite").format("noop").save()
-t0 = time.time()
-pipeline.extract(docs, blobs, with_tables=True) \
-    .write.mode("overwrite").format("noop").save()
-dt = time.time() - t0
-print(json.dumps({{"cores": cores, "sec": round(dt, 3),
-                   "docs_per_sec": round(n_docs / dt, 2)}}))
-spark.stop()
-"""
 
 
 def main() -> None:
@@ -59,15 +34,16 @@ def main() -> None:
         "from surya_spark.session import get_spark\n"
         "spark = get_spark(app='gen', cores=16)\n"
         "datagen.write_dataset(spark, %r, %d)\n"
-        "spark.stop()" % (repo, inp, n_docs)
+        "datagen.write_dataset(spark, %r, 60)\n"
+        "spark.stop()" % (repo, inp, n_docs, inp + "_warm")
     )
     subprocess.run([sys.executable, "-c", gen], check=True, cwd=repo)
 
     results = []
     for cores in (n, 4 * n):
-        script = WORKER.replace("{repo}", repo)
         out = subprocess.run(
-            [sys.executable, "-c", script, str(cores), str(n_docs), inp],
+            [sys.executable, os.path.join(repo, "tools", "scale_worker.py"),
+             str(cores), str(n_docs), inp],
             check=True, cwd=repo, capture_output=True, text=True,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]

@@ -1,0 +1,42 @@
+"""Worker for scale_bench: run the extraction job once at a given core
+count on a pre-materialized input and print one JSON line."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from surya_spark import pipeline  # noqa: E402
+from surya_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    cores, n_docs, inp = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    # shuffle partition count is held CONSTANT across parallelism levels —
+    # it is a property of the job, not of the resource allocation; varying
+    # it would conflate plan changes with scaling
+    spark = get_spark(app=f"scale_bench_{cores}", cores=cores,
+                      shuffle_partitions=32)
+    docs = spark.read.parquet(f"{inp}/documents_spans.parquet")
+    blobs = spark.read.parquet(f"{inp}/page_blobs.parquet")
+    # warmup: identical plan shape on a small separate input so the timed
+    # run measures steady-state execution, not Janino codegen compilation
+    wdocs = spark.read.parquet(f"{inp}_warm/documents_spans.parquet")
+    wblobs = spark.read.parquet(f"{inp}_warm/page_blobs.parquet")
+    pipeline.extract(wdocs, wblobs, with_tables=True) \
+        .write.mode("overwrite").format("noop").save()
+    t0 = time.time()
+    pipeline.extract(docs, blobs, with_tables=True) \
+        .write.mode("overwrite").format("noop").save()
+    dt = time.time() - t0
+    print(json.dumps({"cores": cores, "sec": round(dt, 3),
+                      "docs_per_sec": round(n_docs / dt, 2)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
