@@ -390,7 +390,131 @@ def q_cosine_near_dup(spark, sf_dir):
     )
 
 
+def q_rank_accuracy(spark, sf_dir):
+    # predicted order = column-aware reading order; reference order = by
+    # box_id; pairwise agreement per page (§2.5 rank_accuracy)
+    from surya_spark.functions.metrics import rank_accuracy
+
+    b = q_reading_order(spark, sf_dir).filter(F.col("page_id") < 50)
+    pred = b.select(F.col("page_id").alias("key"),
+                    F.col("box_id").alias("item_id"), "position")
+    w = Window.partitionBy("key").orderBy("item_id")
+    ref = pred.select("key", "item_id").withColumn(
+        "position", F.row_number().over(w)
+    )
+    out = rank_accuracy(pred, ref)
+    return out.select(
+        F.col("key").alias("page_id"),
+        F.round("pair_accuracy", 6).alias("pair_accuracy"),
+    )
+
+
+def q_salted_doc_stats(spark, sf_dir):
+    # salted two-phase aggregation (skew machinery) must equal the plain
+    # GROUP BY — the oracle is the unsalted form
+    from surya_spark.plans.partitioning import two_phase_agg
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 100).cast("string").alias("grp"),
+        F.col("l_linenumber").alias("child"),
+        F.col("l_quantity").alias("qty"),
+        F.lit(64).alias("cost"),
+    )
+    out = two_phase_agg(li, key="grp", cost_col="cost", child="child",
+                        aggs=[("qty", "sum"), ("qty", "max"),
+                              ("qty", "count")],
+                        max_cost_per_salt=16)
+    return out.select(
+        "grp",
+        F.round("qty_sum", 2).alias("qty_sum"),
+        F.col("qty_max").alias("qty_max"),
+        F.col("qty_count").cast("long").alias("n"),
+    )
+
+
+def q_priority_cube(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+    )
+
+
+def q_windowed_events(spark, sf_dir):
+    from surya_spark.streaming.ingest import windowed_event_counts
+
+    out = windowed_event_counts(_t(spark, sf_dir, "events"))
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("we"),
+        "event_type", "n", "avg_value",
+    )
+
+
 # ------------------------------ rows-only (no SQL-expressible oracle) ------
+
+
+def q_greedy_iou_match(spark, sf_dir):
+    from surya_spark.operators.matching import greedy_iou_match
+
+    p = _boxes(spark, sf_dir).filter(F.col("page_id") < 50).select(
+        F.col("page_id").cast("string").alias("key"), "box_id",
+        "x1", "y1", "x2", "y2")
+    t = _truth_boxes(spark, sf_dir).filter(F.col("page_id") < 50).select(
+        F.col("page_id").cast("string").alias("key"),
+        F.col("tbox_id").alias("box_id"), "x1", "y1", "x2", "y2")
+    return greedy_iou_match(p, t)
+
+
+def q_vertical_line_merge(spark, sf_dir):
+    from surya_spark.operators.matching import merge_vertical_lines
+
+    s = _t(spark, sf_dir, "supplier")
+    segs = s.select(
+        (F.col("s_nationkey") % 5).cast("string").alias("key"),
+        F.col("s_suppkey").alias("seg_id"),
+        ((F.col("s_suppkey") * 31) % 200).cast("double").alias("x1"),
+        ((F.col("s_suppkey") * 53) % 600).cast("double").alias("y1"),
+        ((F.col("s_suppkey") * 31) % 200 + 3).cast("double").alias("x2"),
+        ((F.col("s_suppkey") * 53) % 600 + 80).cast("double").alias("y2"),
+    )
+    return merge_vertical_lines(segs)
+
+
+def q_text_cleanup(spark, sf_dir):
+    # deterministic corruption of real texts → stateful P-UDF repairs
+    from surya_spark.functions.text_pudf import (
+        clean_math_tags_udf, fix_unbalanced_tags_udf,
+        truncate_repetitions_udf)
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("<i><math>"), F.substring("text", 1, 40),
+                 F.lit("<br></math>"),
+                 F.substring("text", 1, 20), F.substring("text", 1, 20),
+                 F.substring("text", 1, 20)).alias("corrupted"),
+    )
+    cleaned = d.withColumn(
+        "cleaned",
+        truncate_repetitions_udf()(
+            fix_unbalanced_tags_udf()(
+                clean_math_tags_udf()(F.col("corrupted")))),
+    )
+    return cleaned.select("doc_id", "cleaned")
+
+
+def q_media_features(spark, sf_dir):
+    blobs = datagen.gen_page_blobs(spark, N_DOCS_QUERY, partitions=8)
+    out = multimodal.media_features(blobs, dim=16)
+    return out.select(
+        "media_ref",
+        F.round(
+            F.aggregate("feature", F.lit(0.0),
+                        lambda a, v: a + v.cast("double")), 4
+        ).alias("feat_sum"),
+        F.size("feature").alias("dim"),
+    )
 
 def q_extract_pipeline(spark, sf_dir):
     docs = datagen.gen_documents(spark, N_DOCS_QUERY, partitions=8)
@@ -464,10 +588,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
         "cosine_near_dup": q_cosine_near_dup,
+        "rank_accuracy": q_rank_accuracy,
+        "salted_doc_stats": q_salted_doc_stats,
+        "priority_cube": q_priority_cube,
+        "windowed_events": q_windowed_events,
         "extract_pipeline": q_extract_pipeline,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "media_metadata": q_media_metadata,
+        "greedy_iou_match": q_greedy_iou_match,
+        "vertical_line_merge": q_vertical_line_merge,
+        "text_cleanup": q_text_cleanup,
+        "media_features": q_media_features,
     }
 
 
@@ -799,7 +931,53 @@ def oracle_sql() -> dict[str, str]:
                 ON a.label = b.label AND a.vec_id < b.vec_id)
             WHERE cosine >= 0.3
         """,
-        # extract_pipeline / minhash_lsh / simhash_pairs / media_metadata:
-        # intentionally omitted — surrogate-UDF / hash-family ops are not
+        "rank_accuracy": f"""
+            WITH boxes AS ({_BOXES_SQL}),
+            pg AS (
+              SELECT *, max(CASE WHEN x1 < 432 AND x2 > 468 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY page_id) AS crossing
+              FROM boxes WHERE page_id < 50),
+            cc AS (
+              SELECT *,
+                     CASE WHEN crossing = 0 AND (x1 + x2) / 2.0 >= 450
+                          THEN 1 ELSE 0 END AS col_id,
+                     floor(y1 / 40.0) AS band
+              FROM pg),
+            pred AS (
+              SELECT page_id AS key, box_id AS i,
+                     row_number() OVER (
+                       PARTITION BY page_id
+                       ORDER BY col_id, band, x1, box_id) AS pp
+              FROM cc)
+            SELECT a.key AS page_id,
+                   round(avg(CASE WHEN a.pp < b.pp THEN 1.0 ELSE 0.0 END), 6)
+                     AS pair_accuracy
+            FROM pred a JOIN pred b ON a.key = b.key AND a.i < b.i
+            GROUP BY a.key
+        """,
+        "salted_doc_stats": """
+            SELECT CAST(l_orderkey % 100 AS VARCHAR) AS grp,
+                   round(sum(l_quantity), 2) AS qty_sum,
+                   max(l_quantity) AS qty_max,
+                   count(*) AS n
+            FROM lineitem GROUP BY 1
+        """,
+        "priority_cube": """
+            SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+                   round(avg(o_totalprice), 4) AS avg_price
+            FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        """,
+        "windowed_events": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+                   strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR,
+                            '%Y-%m-%d %H:%M:%S') AS we,
+                   event_type, count(*) AS n,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2, 3
+        """,
+        # extract_pipeline / minhash_lsh / simhash_pairs / media_metadata /
+        # greedy_iou_match / vertical_line_merge / text_cleanup /
+        # media_features: intentionally omitted — surrogate-UDF,
+        # hash-family, or inherently-sequential kernels are not
         # ANSI-SQL-expressible; the driver records rows-only checks.
     }
