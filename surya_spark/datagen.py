@@ -70,9 +70,20 @@ def make_page_descriptor(doc_idx: int, span_offset: int, kind: str) -> dict:
              for c in range(n_cols)]
             for r in range(n_rows)
         ]
+        # ~40% of tables get one horizontally-merged (colspan=2) cell —
+        # exercises the spanning-cell assignment join
+        # (/root/reference/surya/table_rec/__init__.py:313-327)
+        merges = []
+        if n_cols >= 3 and rng.rand() < 0.4:
+            mr = int(rng.randint(0, n_rows))
+            mc = int(rng.randint(0, n_cols - 1))
+            merges.append({"row": mr, "col": mc, "colspan": 2})
+            texts[mr][mc] = f"m{mr}c{mc}_merged"
+            texts[mr][mc + 1] = None  # covered by the span
         desc["table"] = {
             "x": tx, "y": ty, "rows": n_rows, "cols": n_cols,
             "cell_w": cell_w, "cell_h": cell_h, "texts": texts,
+            "merges": merges,
         }
         desc["regions"] = [
             {"label": "SectionHeader", "bbox": [60, 28, 600, 60], "order": 0},
@@ -85,10 +96,14 @@ def make_page_descriptor(doc_idx: int, span_offset: int, kind: str) -> dict:
         # claims them via the cell-assignment join)
         desc["lines"] = [{"bbox": [60, 28, 600, 60],
                           "text": _words(rng, 3)}]
+        span_cols = {(m["row"], m["col"]): m["colspan"] for m in merges}
         for r in range(n_rows):
             for c in range(n_cols):
                 t = texts[r][c]
-                lw = min(cell_w - 8, 6 * len(t))
+                if t is None:
+                    continue  # covered by a merged cell
+                width_cells = span_cols.get((r, c), 1)
+                lw = min(width_cells * cell_w - 8, 6 * len(t))
                 lx = tx + c * cell_w + 4
                 ly = ty + r * cell_h + 12
                 desc["lines"].append(
@@ -264,6 +279,8 @@ def expected_out_spans(doc_idx: int) -> list[dict]:
             if t:
                 for row in t["texts"]:
                     for cell in row:
+                        if cell is None:
+                            continue  # covered by a merged cell
                         out.append({"kind": "cell", "text": cell,
                                     "media_ref": s["media_ref"]})
     for i, s in enumerate(out):

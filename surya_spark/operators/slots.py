@@ -182,6 +182,16 @@ def surrogate_table(crop_bytes: bytes) -> list[dict]:
             "x2": float(x + (c + 1) * cw), "y2": float(y + n_rows * chh),
             "is_header": False, "colspan": None,
         })
+    # pass-2 analog: spanning cells (reference decodes these per row,
+    # /root/reference/surya/table_rec/__init__.py:193-231)
+    for i, m in enumerate(table.get("merges", [])):
+        r, c, span = m["row"], m["col"], m["colspan"]
+        items.append({
+            "item_kind": "spanning_cell", "item_id": i,
+            "x1": float(x + c * cw), "y1": float(y + r * chh),
+            "x2": float(x + (c + span) * cw), "y2": float(y + (r + 1) * chh),
+            "is_header": r == 0, "colspan": span,
+        })
     return items
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import types as T
 
 from .. import schemas
 from ..datagen import decode_page
+from ..functions import geometry as G
 from . import slots
 
 _TABLE_CROPS = T.StructType([
@@ -136,6 +137,58 @@ def cell_grid(items: DataFrame) -> DataFrame:
     )
 
 
+def apply_spanning_cells(cells: DataFrame, items: DataFrame,
+                         min_cover: float = 0.9) -> DataFrame:
+    """Spanning-cell override: grid cells covered ≥min_cover by a spanning
+    cell are collapsed — the minimum covered col becomes the anchor, its
+    bbox widens to the span, covered non-anchors drop
+    (/root/reference/surya/table_rec/__init__.py:313-327). Pure relational:
+    a theta join (center containment + coverage pct) refined from the
+    (media_ref, table_idx) equi key, then a min() window for the anchor."""
+    sp = items.filter(F.col("item_kind") == "spanning_cell").select(
+        F.col("media_ref").alias("s_media_ref"),
+        F.col("table_idx").alias("s_table_idx"),
+        F.col("item_id").alias("span_id"),
+        F.col("x1").alias("sx1"), F.col("y1").alias("sy1"),
+        F.col("x2").alias("sx2"), F.col("y2").alias("sy2"),
+        F.col("colspan").alias("span_colspan"),
+    )
+    cover = G.intersection_pct(
+        cells["x1"], cells["y1"], cells["x2"], cells["y2"],
+        sp["sx1"], sp["sy1"], sp["sx2"], sp["sy2"],
+    )
+    joined = cells.join(
+        sp,
+        (cells["media_ref"] == sp["s_media_ref"])
+        & (cells["table_idx"] == sp["s_table_idx"])
+        & (cover >= min_cover),
+        "left",
+    )
+
+    w = Window.partitionBy("media_ref", "table_idx", "span_id")
+    marked = joined.withColumn(
+        "_anchor_col", F.min(F.when(F.col("span_id").isNotNull(),
+                                    F.col("col_id"))).over(w)
+    )
+    uncovered = marked.filter(F.col("span_id").isNull()).select(
+        "media_ref", "table_idx", "row_id", "col_id", "is_header",
+        "x1", "y1", "x2", "y2", F.lit(1).alias("colspan"),
+    )
+    anchors = (
+        marked.filter(
+            F.col("span_id").isNotNull()
+            & (F.col("col_id") == F.col("_anchor_col"))
+        )
+        .select(
+            "media_ref", "table_idx", "row_id", "col_id", "is_header",
+            F.col("sx1").alias("x1"), F.col("sy1").alias("y1"),
+            F.col("sx2").alias("x2"), F.col("sy2").alias("y2"),
+            F.col("span_colspan").alias("colspan"),
+        )
+    )
+    return uncovered.unionByName(anchors)
+
+
 def assign_cell_text(cells: DataFrame, ocr_lines: DataFrame) -> DataFrame:
     """OCR lines whose center falls inside a cell bbox become the cell's
     text (reading-order concat). Theta join refined from the media_ref
@@ -145,6 +198,7 @@ def assign_cell_text(cells: DataFrame, ocr_lines: DataFrame) -> DataFrame:
         ((F.col("x1") + F.col("x2")) / 2).alias("lcx"),
         ((F.col("y1") + F.col("y2")) / 2).alias("lcy"),
     )
+    group_cols = [c for c in cells.columns if c != "media_ref"]
     joined = cells.join(
         ln,
         (cells["media_ref"] == ln["media_ref"])
@@ -153,10 +207,7 @@ def assign_cell_text(cells: DataFrame, ocr_lines: DataFrame) -> DataFrame:
         "left",
     ).drop(ln["media_ref"])
     return (
-        joined.groupBy(
-            "media_ref", "table_idx", "row_id", "col_id",
-            "is_header", "x1", "y1", "x2", "y2",
-        )
+        joined.groupBy("media_ref", *group_cols)
         .agg(
             F.concat_ws(
                 " ",
@@ -176,4 +227,5 @@ def table_stage(regions: DataFrame, pages: DataFrame,
                 slot: Callable = slots.surrogate_table) -> DataFrame:
     crops = table_crops(regions, pages)
     items = table_items(crops, slot)
-    return assign_cell_text(cell_grid(items), ocr_lines)
+    cells = apply_spanning_cells(cell_grid(items), items)
+    return assign_cell_text(cells, ocr_lines)
