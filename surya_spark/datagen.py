@@ -118,7 +118,7 @@ def make_page_descriptor(doc_idx: int, span_offset: int, kind: str) -> dict:
 
     # text page: 1 or 2 columns
     two_col = (not tall) and rng.rand() < 0.3
-    n_lines = int(rng.randint(3, 13 if not tall else 30))
+    n_lines = int(rng.randint(3, 13) if not tall else rng.randint(40, 95))
     margin = 60
     col_w = (width - 2 * margin - 80) // 2 if two_col else width - 2 * margin
     order = 0

@@ -63,6 +63,77 @@ def detect_lines(pages: DataFrame,
     return pages.mapInPandas(run, schema=_DETECT_OUT)
 
 
+def split_detect_lines(pages: DataFrame,
+                       slot: Callable = slots.surrogate_detect,
+                       chunk_px: int = 1400) -> DataFrame:
+    """Chunked detection for tall pages: explode each page into ≤chunk_px
+    vertical slices, run the detector per slice, shift results back and
+    re-stitch — the reference's vertical split + heatmap stitch
+    (/root/reference/surya/detection/util.py:7-36,
+     /root/reference/surya/detection/__init__.py:134-151) re-expressed as
+    flatMap → infer → relational re-key. Bounds the per-item activation
+    footprint no matter how tall the page is; short pages pass through as
+    a single slice with zero extra cost.
+
+    Truth lines are assigned to the slice containing their y-center, so
+    stitching is a union + window re-key, not a merge heuristic."""
+    import json
+    import math
+    import zlib
+
+    from ..datagen import MAGIC, decode_page
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, w, h, blob in zip(
+                pdf["media_ref"], pdf["width"], pdf["height"], pdf["img_bytes"]
+            ):
+                desc = decode_page(bytes(blob))
+                n_chunks = max(1, math.ceil(int(h) / chunk_px))
+                for ci in range(n_chunks):
+                    y0 = ci * chunk_px
+                    ch = min(chunk_px, int(h) - y0)
+                    sub_lines = []
+                    for ln in desc["lines"]:
+                        cy = (ln["bbox"][1] + ln["bbox"][3]) / 2.0
+                        if y0 <= cy < y0 + chunk_px:
+                            b = ln["bbox"]
+                            sub_lines.append({
+                                "bbox": [b[0], b[1] - y0, b[2], b[3] - y0],
+                                "text": ln["text"],
+                            })
+                    sub = {**desc, "h": ch, "lines": sub_lines}
+                    sub_blob = MAGIC + zlib.compress(
+                        json.dumps(sub, sort_keys=True).encode())
+                    for i, d in enumerate(
+                        slot(f"{ref}#c{ci}", int(w), ch, sub_blob)
+                    ):
+                        poly = [[p[0], p[1] + y0] for p in d["polygon"]]
+                        xs = [p[0] for p in poly]
+                        ys = [p[1] for p in poly]
+                        rows.append({
+                            "media_ref": ref,
+                            "line_idx": ci * 100_000 + i,
+                            "polygon": poly,
+                            "x1": min(xs), "y1": min(ys),
+                            "x2": max(xs), "y2": max(ys),
+                            "confidence": d["confidence"],
+                            "page_width": int(w), "page_height": int(h),
+                        })
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {f.name: pd.Series([], dtype=object) for f in _DETECT_OUT})
+
+    raw = pages.mapInPandas(run, schema=_DETECT_OUT)
+    # re-key line_idx densely per page (chunk-offset ids → 0..n-1)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("media_ref").orderBy("line_idx")
+    return raw.withColumn(
+        "line_idx", (F.row_number().over(w) - 1).cast("int")
+    )
+
+
 def clean_contained_boxes(lines: DataFrame) -> DataFrame:
     """Drop zero-area boxes and boxes fully contained in a larger box on the
     same page — the reference's clean_boxes
@@ -159,6 +230,14 @@ def expand_and_normalize(lines: DataFrame, y_pct: float = 0.05) -> DataFrame:
 
 
 def detection_stage(pages: DataFrame,
-                    slot: Callable = slots.surrogate_detect) -> DataFrame:
-    """Full detection stage: infer → clean → expand/normalize."""
-    return expand_and_normalize(clean_contained_boxes(detect_lines(pages, slot)))
+                    slot: Callable = slots.surrogate_detect,
+                    chunked: bool = False,
+                    chunk_px: int = 1400) -> DataFrame:
+    """Full detection stage: infer → clean → expand/normalize.
+    chunked=True routes through the vertical split/stitch path (bounded
+    activation memory for tall pages)."""
+    detect = (
+        split_detect_lines(pages, slot, chunk_px) if chunked
+        else detect_lines(pages, slot)
+    )
+    return expand_and_normalize(clean_contained_boxes(detect))
