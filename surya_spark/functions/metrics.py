@@ -136,6 +136,49 @@ def mean_iou_matched(pred: DataFrame, ref: DataFrame) -> DataFrame:
     return best.groupBy("key").agg(F.avg("best_iou").alias("mean_best_iou"))
 
 
+def fuzzy_overlap_score(pred_lines: DataFrame, ref_lines: DataFrame) -> DataFrame:
+    """Best fuzzy-similarity reference line per predicted line, averaged
+    per key — the recognition benchmark's overlap_score
+    (/root/reference/benchmark/utils/scoring.py:7-26). Similarity =
+    difflib SequenceMatcher ratio (stdlib; rapidfuzz-compatible scale) in
+    an Arrow-vectorized cogroup kernel; candidate pairing stays bounded
+    per key. Frames: (key, line_id, text)."""
+    import difflib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        pred_lines.schema["key"],
+        T.StructField("mean_score", T.DoubleType(), False),
+        T.StructField("n_lines", T.IntegerType(), False),
+    ])
+
+    def score(pdf: pd.DataFrame, rdf: pd.DataFrame):
+        if not len(pdf):
+            return pd.DataFrame(columns=[f.name for f in out_schema])
+        refs = list(rdf["text"]) if len(rdf) else []
+        scores = []
+        for t in pdf["text"]:
+            best = 0.0
+            for rt in refs:
+                r = difflib.SequenceMatcher(None, t or "", rt or "").ratio()
+                if r > best:
+                    best = r
+            scores.append(best)
+        return pd.DataFrame({
+            "key": [pdf["key"].iloc[0]],
+            "mean_score": [float(sum(scores) / len(scores))],
+            "n_lines": [len(scores)],
+        })
+
+    return (
+        pred_lines.select("key", "text").groupBy("key")
+        .cogroup(ref_lines.select("key", "text").groupBy("key"))
+        .applyInPandas(score, schema=out_schema)
+    )
+
+
 def rank_accuracy(pred_order: DataFrame, ref_order: DataFrame) -> DataFrame:
     """Fraction of item pairs whose relative order matches the reference
     (/root/reference/benchmark/utils/metrics.py:189-205) — a self-join per

@@ -81,6 +81,30 @@ def position_regions(regions: DataFrame) -> DataFrame:
     return regions.withColumn("position", F.row_number().over(w))
 
 
+def stitch_positions(tiled: DataFrame,
+                     key: str = "media_ref",
+                     tile_col: str = "tile_idx",
+                     emit_col: str = "emit_idx") -> DataFrame:
+    """Slicer re-join: regions decoded per tile get global reading-order
+    positions by offsetting each tile's emit indices with the cumulative
+    count of earlier tiles (/root/reference/surya/layout/slicer.py:89-116).
+    One window, no Python."""
+    # cumulative emitted-before-this-tile count
+    counts = tiled.groupBy(key, tile_col).agg(
+        F.count(F.lit(1)).alias("_n_tile"))
+    w_cum = Window.partitionBy(key).orderBy(tile_col).rowsBetween(
+        Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_offset", F.coalesce(F.sum("_n_tile").over(w_cum), F.lit(0)))
+    return (
+        tiled.join(offsets.select(key, tile_col, "_offset"),
+                   [key, tile_col])
+        .withColumn("position",
+                    (F.col(emit_col) + F.col("_offset") + 1).cast("int"))
+        .drop("_offset")
+    )
+
+
 def layout_stage(pages: DataFrame,
                  slot: Callable = slots.surrogate_layout) -> DataFrame:
     return position_regions(relabel_headers_footers(layout_regions(pages, slot)))

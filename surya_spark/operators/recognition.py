@@ -191,6 +191,38 @@ def line_confidence(ocr_lines: DataFrame) -> DataFrame:
     )
 
 
+def dedupe_close_chars(ocr_lines: DataFrame, tol: float = 0.1) -> DataFrame:
+    """Drop consecutive chars whose bboxes coincide within tol px —
+    multi-token characters decode to repeated boxes in the reference
+    (clean_close_polygons, /root/reference/surya/recognition/util.py:100-120).
+    Lag-window formulation over exploded chars; rebuilt nested."""
+    ex = ocr_lines.select(
+        "media_ref", "line_idx",
+        F.posexplode("chars").alias("pos", "ch"),
+    )
+    w = Window.partitionBy("media_ref", "line_idx").orderBy("pos")
+    close = (
+        (F.abs(F.col("ch.x1") - F.lag("ch.x1").over(w)) < tol)
+        & (F.abs(F.col("ch.y1") - F.lag("ch.y1").over(w)) < tol)
+        & (F.abs(F.col("ch.x2") - F.lag("ch.x2").over(w)) < tol)
+        & (F.abs(F.col("ch.y2") - F.lag("ch.y2").over(w)) < tol)
+        & (F.col("ch.text") == F.lag("ch.text").over(w))
+    )
+    kept = ex.withColumn("_dup", F.coalesce(close, F.lit(False))).filter(
+        ~F.col("_dup"))
+    rebuilt = kept.groupBy("media_ref", "line_idx").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "ch"))),
+            lambda s: s["ch"],
+        ).alias("chars")
+    )
+    return (
+        ocr_lines.drop("chars")
+        .join(rebuilt, ["media_ref", "line_idx"], "left")
+        .withColumn("chars", F.coalesce("chars", F.array()))
+    )
+
+
 def assemble_words(ocr_lines: DataFrame) -> DataFrame:
     """chars → words: split on whitespace chars, word bbox = running union.
     Relational form of /root/reference/surya/recognition/util.py:123-154:

@@ -207,6 +207,50 @@ def encode_table_crop(desc: dict, bbox: list[float]) -> bytes:
     return CROP_MAGIC + zlib.compress(json.dumps(payload, sort_keys=True).encode())
 
 
+# -------------------------------------------------------- provider pattern
+class ModelProvider:
+    """Executor-local lazy singleton for real model weights — the
+    deployment-side extension surface mirroring BasePredictor's
+    model_loader_cls (/root/reference/surya/common/predictor.py:9-57) and
+    the S3 checkpoint source (/root/reference/surya/common/s3.py).
+
+    Broadcast the PATH, never the weights: each executor process loads
+    once on first UDF call and caches in the process (Spark reuses Python
+    workers across tasks). Usage inside a slot:
+
+        provider = ModelProvider("s3://bucket/detection.pt", load_detector)
+        def real_detect(ref, w, h, blob):
+            model = provider.get()          # loads once per executor
+            ...
+
+    In this sandbox no torch exists, so load_fn is injected; get() raises
+    a clear error if the loader needs unavailable libraries.
+    """
+
+    _cache: dict = {}  # class-level: one instance per (path) per process
+
+    def __init__(self, checkpoint_path: str, load_fn):
+        self.checkpoint_path = checkpoint_path
+        self._load_fn = load_fn
+
+    def get(self):
+        key = self.checkpoint_path
+        if key not in ModelProvider._cache:
+            ModelProvider._cache[key] = self._load_fn(self.checkpoint_path)
+        return ModelProvider._cache[key]
+
+
+def render_pdf_pages(pdf_bytes: bytes, dpi: int = 96) -> list[dict]:
+    """Deployment slot: render PDF pages to images (pypdfium2 in the
+    reference, /root/reference/surya/input/processing.py:23-32). The PDF
+    lib is not in this container — inject a real renderer via the
+    sources/multimodal decode slots."""
+    raise NotImplementedError(
+        "PDF rendering requires pypdfium2/poppler — not present in this "
+        "container; wire a renderer into media decode slots at deployment"
+    )
+
+
 # ------------------------------------------------------------------ ocr error
 def surrogate_ocr_error(text: str) -> str:
     """'good'/'bad' text-quality label, deterministic heuristic standing in
