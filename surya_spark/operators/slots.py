@@ -173,24 +173,26 @@ def surrogate_table(crop_bytes: bytes) -> list[dict]:
             "item_kind": "row", "item_id": r,
             "x1": float(x), "y1": float(y + r * chh),
             "x2": float(x + n_cols * cw), "y2": float(y + (r + 1) * chh),
-            "is_header": r == 0, "colspan": None,
+            "is_header": r == 0, "colspan": None, "rowspan": None,
         })
     for c in range(n_cols):
         items.append({
             "item_kind": "col", "item_id": c,
             "x1": float(x + c * cw), "y1": float(y),
             "x2": float(x + (c + 1) * cw), "y2": float(y + n_rows * chh),
-            "is_header": False, "colspan": None,
+            "is_header": False, "colspan": None, "rowspan": None,
         })
     # pass-2 analog: spanning cells (reference decodes these per row,
-    # /root/reference/surya/table_rec/__init__.py:193-231)
+    # /root/reference/surya/table_rec/__init__.py:193-231); vertical spans
+    # are the merge_up/merge_down rowspan case (:346-377)
     for i, m in enumerate(table.get("merges", [])):
-        r, c, span = m["row"], m["col"], m["colspan"]
+        r, c = m["row"], m["col"]
+        cs, rs = m.get("colspan", 1), m.get("rowspan", 1)
         items.append({
             "item_kind": "spanning_cell", "item_id": i,
             "x1": float(x + c * cw), "y1": float(y + r * chh),
-            "x2": float(x + (c + span) * cw), "y2": float(y + (r + 1) * chh),
-            "is_header": r == 0, "colspan": span,
+            "x2": float(x + (c + cs) * cw), "y2": float(y + (r + rs) * chh),
+            "is_header": r == 0, "colspan": cs, "rowspan": rs,
         })
     return items
 

@@ -104,6 +104,7 @@ def table_items(crops: DataFrame,
                         "x2": item["x2"] + x1, "y2": item["y2"] + y1,
                         "is_header": bool(item["is_header"]),
                         "colspan": item["colspan"],
+                        "rowspan": item.get("rowspan"),
                     })
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {f.name: pd.Series([], dtype=object) for f in schemas.TABLE_ITEMS})
@@ -152,6 +153,7 @@ def apply_spanning_cells(cells: DataFrame, items: DataFrame,
         F.col("x1").alias("sx1"), F.col("y1").alias("sy1"),
         F.col("x2").alias("sx2"), F.col("y2").alias("sy2"),
         F.col("colspan").alias("span_colspan"),
+        F.col("rowspan").alias("span_rowspan"),
     )
     cover = G.intersection_pct(
         cells["x1"], cells["y1"], cells["x2"], cells["y2"],
@@ -167,23 +169,27 @@ def apply_spanning_cells(cells: DataFrame, items: DataFrame,
 
     w = Window.partitionBy("media_ref", "table_idx", "span_id")
     marked = joined.withColumn(
-        "_anchor_col", F.min(F.when(F.col("span_id").isNotNull(),
-                                    F.col("col_id"))).over(w)
+        "_anchor",
+        F.min(F.when(F.col("span_id").isNotNull(),
+                     F.struct("row_id", "col_id"))).over(w),
     )
     uncovered = marked.filter(F.col("span_id").isNull()).select(
         "media_ref", "table_idx", "row_id", "col_id", "is_header",
-        "x1", "y1", "x2", "y2", F.lit(1).alias("colspan"),
+        "x1", "y1", "x2", "y2",
+        F.lit(1).alias("colspan"), F.lit(1).alias("rowspan"),
     )
     anchors = (
         marked.filter(
             F.col("span_id").isNotNull()
-            & (F.col("col_id") == F.col("_anchor_col"))
+            & (F.col("row_id") == F.col("_anchor.row_id"))
+            & (F.col("col_id") == F.col("_anchor.col_id"))
         )
         .select(
             "media_ref", "table_idx", "row_id", "col_id", "is_header",
             F.col("sx1").alias("x1"), F.col("sy1").alias("y1"),
             F.col("sx2").alias("x2"), F.col("sy2").alias("y2"),
             F.col("span_colspan").alias("colspan"),
+            F.col("span_rowspan").alias("rowspan"),
         )
     )
     return uncovered.unionByName(anchors)

@@ -117,6 +117,7 @@ TABLE_ITEMS = T.StructType(
         T.StructField("y2", T.DoubleType(), False),
         T.StructField("is_header", T.BooleanType(), False),
         T.StructField("colspan", T.IntegerType(), True),
+        T.StructField("rowspan", T.IntegerType(), True),
     ]
 )
 

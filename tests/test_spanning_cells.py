@@ -22,13 +22,15 @@ def test_spanning_cells_end_to_end(spark):
     items = tables.table_items(crops)
     cells = tables.apply_spanning_cells(tables.cell_grid(items), items)
 
-    merged = cells.filter(F.col("colspan") > 1)
+    merged = cells.filter((F.col("colspan") > 1) | (F.col("rowspan") > 1))
     assert merged.count() > 0, "fixture should produce some merged tables"
-    # anchor bbox is exactly colspan cells wide (cell_w = 100)
-    bad_width = merged.filter(
-        F.col("x2") - F.col("x1") != F.col("colspan") * 100.0
+    assert merged.filter(F.col("rowspan") > 1).count() > 0
+    # anchor bbox spans exactly colspan×rowspan cells (100×40 px grid)
+    bad = merged.filter(
+        (F.col("x2") - F.col("x1") != F.col("colspan") * 100.0)
+        | (F.col("y2") - F.col("y1") != F.col("rowspan") * 40.0)
     )
-    assert bad_width.count() == 0
+    assert bad.count() == 0
 
     # no (row, col) appears twice, and covered positions are gone
     dup = cells.groupBy("media_ref", "table_idx", "row_id", "col_id") \
@@ -42,6 +44,7 @@ def test_spanning_cells_end_to_end(spark):
         pages,
     ))
     with_text = tables.assign_cell_text(cells, ocr)
-    m = with_text.filter(F.col("colspan") > 1).collect()
-    assert m and all(r["text"].startswith("m") and "_merged" in r["text"]
+    m = with_text.filter(
+        (F.col("colspan") > 1) | (F.col("rowspan") > 1)).collect()
+    assert m and all(r["text"][0] in "mv" and "_merged" in r["text"]
                      for r in m)
