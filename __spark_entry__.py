@@ -531,6 +531,46 @@ def q_extract_pipeline(spark, sf_dir):
     )
 
 
+def q_extract_parity(spark, sf_dir):
+    """Self-verifying flagship: per-doc span-sequence equality (kind,
+    text, media_ref, order) of the pipeline output vs the closed-form
+    expectation. Every row should have matches=true — the north-rule
+    invariant, checkable at a glance in the recorded rows."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    docs = datagen.gen_documents(spark, N_DOCS_QUERY, partitions=8)
+    blobs = datagen.gen_page_blobs(spark, N_DOCS_QUERY, partitions=8)
+    out = pipeline.extract(docs, blobs, with_tables=True)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("n_spans", T.IntegerType(), False),
+        T.StructField("matches", T.BooleanType(), False),
+    ])
+
+    def check(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                idx = int(doc_id.split("-")[1])
+                expected = datagen.expected_out_spans(idx)
+                got = [
+                    {"kind": s["kind"], "text": s["text"],
+                     "media_ref": s["media_ref"], "offset": int(s["offset"])}
+                    for s in spans
+                ]
+                rows.append({
+                    "doc_id": doc_id, "n_spans": len(got),
+                    "matches": got == expected,
+                })
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {f.name: pd.Series([], dtype=object) for f in schema})
+
+    return out.mapInPandas(check, schema=schema)
+
+
 def q_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.05
@@ -593,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_cube": q_priority_cube,
         "windowed_events": q_windowed_events,
         "extract_pipeline": q_extract_pipeline,
+        "extract_parity": q_extract_parity,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "media_metadata": q_media_metadata,

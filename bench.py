@@ -50,7 +50,10 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
-    n_docs = max(50, int(10000 * sf))
+    # enough docs that the extraction measurement is compute-bound, not
+    # stage-latency-bound (scale_bench shows ~4× higher docs/s at 16k docs
+    # than at 1k on the same cores)
+    n_docs = max(50, int(40000 * sf))
 
     spark = get_spark(app="surya_spark_bench", cores=cpus,
                       shuffle_partitions=cpus)
