@@ -5,7 +5,7 @@ Replaces the reference's slice_map / table_counts offset bookkeeping
 (/root/reference/surya/recognition/__init__.py:176,880-885,
  /root/reference/surya/scripts/table_recognition.py:62,79-96) with keyed
 joins: every item carries (doc_id, span offset, sub_order) and the final
-order is one window — no positional arithmetic anywhere.
+order is one grouped array sort — no positional arithmetic anywhere.
 
 Contract per input span, in offset order:
   kind='text'  → passes through unchanged (already-extracted content is
@@ -19,7 +19,7 @@ Contract per input span, in offset order:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -98,19 +98,19 @@ def assemble_spans(documents: DataFrame, ocr_lines: DataFrame,
     for p in parts[1:]:
         items = items.unionByName(p)
 
-    w = Window.partitionBy("doc_id").orderBy("offset", "sub_order")
-    ordered = items.withColumn(
-        "out_offset", (F.row_number().over(w) - 1).cast("int")
-    )
+    # single groupBy: collect (offset, sub_order)-keyed structs, sort
+    # inside the array, re-number with the transform index. One exchange
+    # on doc_id — the window+row_number formulation costs an extra
+    # partition-wide sort pass for identical semantics ((offset,
+    # sub_order) is unique per doc, so array_sort's struct ordering is a
+    # total order).
     return (
-        ordered.groupBy("doc_id")
+        items.groupBy("doc_id")
         .agg(
             F.array_sort(
                 F.collect_list(
-                    F.struct(
-                        F.col("out_offset").alias("offset"),
-                        "kind", "text", "media_ref",
-                    )
+                    F.struct("offset", "sub_order",
+                             "kind", "text", "media_ref")
                 )
             ).alias("_s")
         )
@@ -118,11 +118,11 @@ def assemble_spans(documents: DataFrame, ocr_lines: DataFrame,
             "doc_id",
             F.transform(
                 "_s",
-                lambda s: F.struct(
+                lambda s, i: F.struct(
                     s["kind"].alias("kind"),
                     s["text"].alias("text"),
                     s["media_ref"].alias("media_ref"),
-                    s["offset"].alias("offset"),
+                    i.cast("int").alias("offset"),
                 ),
             ).alias("spans"),
         )

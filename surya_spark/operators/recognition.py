@@ -95,7 +95,8 @@ _OCR_OUT = T.StructType([
 
 def recognize(crops: DataFrame,
               slot: Callable = slots.surrogate_recognize,
-              task: str = "ocr_with_boxes") -> DataFrame:
+              task: str = "ocr_with_boxes",
+              emit_chars: bool = True) -> DataFrame:
     """crop blobs → ocr_lines. Width-descending sort within partitions
     mirrors the reference's batch admission order
     (/root/reference/surya/recognition/__init__.py:847-854) — a physical
@@ -103,7 +104,13 @@ def recognize(crops: DataFrame,
 
     task: per-stage decode mode (a plan-time parameter, not data — same as
     the reference's TaskNames routing, recognition/__init__.py:86-102). A
-    per-row 'task' column on crops overrides it."""
+    per-row 'task' column on crops overrides it.
+
+    emit_chars=False prunes per-char boxes INSIDE the UDF — Catalyst can
+    prune the output column but not the Python work that builds it, and
+    char structs are ~20× the rows of lines (measured: the single biggest
+    cost of the whole pipeline at sf-scale). Callers that don't consume
+    chars (the span-assembly flagship) must pass False."""
     sorted_crops = crops.sortWithinPartitions((F.col("x2") - F.col("x1")).desc())
     has_task_col = "task" in crops.columns
 
@@ -130,7 +137,7 @@ def recognize(crops: DataFrame,
                         "bbox_valid": bool(c["bbox_valid"]),
                     }
                     for c in r["chars"]
-                ]
+                ] if emit_chars else []
                 rows.append({
                     "media_ref": ref, "line_idx": int(li), "position": int(pos),
                     "x1": x1, "y1": y1, "x2": x2, "y2": y2,

@@ -60,6 +60,7 @@ def extract(
     table_slot=slots.surrogate_table,
     pack_partitions: int | None = None,
     persist: bool = True,
+    emit_chars: bool = False,
 ) -> DataFrame:
     """persist=True pins the two fan-out points of the DAG:
 
@@ -85,7 +86,11 @@ def extract(
                        "x1", "y1", "x2", "y2"),
         pages,
     )
-    ocr_lines = recognition.recognize(crops, recognize_slot)
+    # chars pruned inside the UDF unless requested: span assembly never
+    # reads them and they are the pipeline's single largest Python/Arrow
+    # cost (see recognition.recognize docstring)
+    ocr_lines = recognition.recognize(crops, recognize_slot,
+                                      emit_chars=emit_chars)
     if persist:
         ocr_lines = ocr_lines.persist()
 
@@ -131,7 +136,8 @@ def checkpointed_extract(
                 ordered.select("media_ref", "line_idx", "position",
                                "x1", "y1", "x2", "y2"),
                 pages,
-            )
+            ),
+            emit_chars=False,
         ),
         bucket_key="media_ref", max_groups=max_groups,
     )

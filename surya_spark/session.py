@@ -24,11 +24,17 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # AQE defaults ON (coalescing + skew splitting matter at real scale).
+    # SPARK_GRAFT_AQE=0 turns it off: its per-stage driver re-planning is a
+    # SERIAL cost (~0.2-0.5 s × ~20 stages for the extraction DAG) that
+    # dominates wall time only at toy input sizes — scale benchmarks
+    # disable it so they measure executor scaling, not driver latency.
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "1") != "0"
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", str(aqe).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

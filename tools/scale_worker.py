@@ -16,6 +16,8 @@ from surya_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     cores, n_docs, inp = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    # measure executor scaling, not AQE's serial driver re-planning
+    os.environ.setdefault("SPARK_GRAFT_AQE", "0")
     # shuffle partition count is held CONSTANT across parallelism levels —
     # it is a property of the job, not of the resource allocation; varying
     # it would conflate plan changes with scaling
