@@ -441,6 +441,24 @@ def q_priority_cube(spark, sf_dir):
     )
 
 
+def q_json_extract(spark, sf_dir):
+    # semi-structured props column: JSON path extraction + typed agg —
+    # the web-corpus metadata pattern (headers, page props, crawl info)
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.round(F.avg("k"), 6).alias("k_avg"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
 def q_windowed_events(spark, sf_dir):
     from surya_spark.streaming.ingest import windowed_event_counts
 
@@ -632,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_doc_stats": q_salted_doc_stats,
         "priority_cube": q_priority_cube,
         "windowed_events": q_windowed_events,
+        "json_extract": q_json_extract,
         "extract_pipeline": q_extract_pipeline,
         "extract_parity": q_extract_parity,
         "minhash_lsh": q_minhash_lsh,
@@ -1007,6 +1026,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, o_orderstatus, count(*) AS n,
                    round(avg(o_totalprice), 4) AS avg_price
             FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        """,
+        "json_extract": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS k_sum,
+                   round(avg(CAST(json_extract_string(props, '$.k')
+                                  AS BIGINT)), 6) AS k_avg,
+                   min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                     AS k_min,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                     AS k_max
+            FROM events GROUP BY event_type
         """,
         "windowed_events": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
