@@ -38,6 +38,9 @@ HEADLINE = [
     "simhash_pairs",
     "knn_bruteforce",
     "knn_ivf",
+    "ocr_error_vote",
+    "json_extract",
+    "windowed_events",
 ]
 
 
