@@ -163,6 +163,29 @@ def knn_ivf(vectors: DataFrame, centroids: DataFrame, k: int = 3,
     )
 
 
+def train_centroids(vectors: DataFrame, k: int = 8,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 42, max_iter: int = 10) -> DataFrame:
+    """IVF coarse quantizer training: k-means|| over the embedding column
+    (distributed MLlib implementation — the scale path for building the
+    index, not just probing it). Returns (centroid_id, embedding) in the
+    same shape assign_clusters/knn_ivf consume."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = vectors.select(
+        F.col(id_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feat)
+    centers = model.clusterCenters()
+    sdf = vectors.sparkSession.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(centers)],
+        f"centroid_id int, {vec_col} array<float>",
+    )
+    return sdf
+
+
 def cosine_near_dup(vectors: DataFrame, threshold: float = 0.95,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     block_col: str | None = None,

@@ -124,3 +124,15 @@ def test_media_metadata_and_features(spark):
     feats = multimodal.media_features(blobs, dim=8).collect()
     assert all(len(r["feature"]) == 8 for r in feats)
     assert all(abs(sum(r["feature"]) - 1.0) < 1e-5 for r in feats)
+
+
+def test_train_centroids_and_ivf(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.train_centroids(emb, k=4, max_iter=5)
+    rows = cents.collect()
+    assert len(rows) == 4 and all(len(r["embedding"]) == 64 for r in rows)
+    out = similarity.knn_ivf(emb, cents, k=2, dim=64)
+    assert out.count() > 0
+    # every vector's neighbors come from one cluster; ranks are 1..k
+    ranks = {r["rank"] for r in out.limit(50).collect()}
+    assert ranks <= {1, 2}
