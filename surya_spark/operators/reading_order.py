@@ -22,6 +22,40 @@ from ..datagen import BAND
 from ..functions import geometry as G
 
 
+def order_lines_with_separators(lines: DataFrame,
+                                separators: DataFrame,
+                                band: float = float(BAND)) -> DataFrame:
+    """Column-aware ordering driven by DETECTED vertical separators (the
+    affinity-map vertical lines of the reference, merged by
+    operators/matching.merge_vertical_lines): col_id = number of
+    separators left of the line's center. Topological within a page:
+    columns left→right, bands top→bottom, x within a band.
+
+    Separator xs are folded into one small array per page (collect_list)
+    and joined on — counting is a higher-order filter over an array of a
+    handful of separators, not a pairwise join."""
+    seps = separators.groupBy("media_ref").agg(
+        F.sort_array(
+            F.collect_list((F.col("x1") + F.col("x2")) / 2.0)
+        ).alias("sep_xs")
+    )
+    cx = G.center_x(F.col("x1"), F.col("x2"))
+    df = (
+        lines.join(seps, "media_ref", "left")
+        .withColumn(
+            "col_id",
+            F.when(
+                F.col("sep_xs").isNotNull(),
+                F.size(F.filter("sep_xs", lambda s: s < cx)),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("y_band", G.y_band(F.col("y1"), band))
+        .drop("sep_xs")
+    )
+    w = Window.partitionBy("media_ref").orderBy("col_id", "y_band", "x1", "y1")
+    return df.withColumn("position", F.row_number().over(w))
+
+
 def order_lines(lines: DataFrame, band: float = float(BAND)) -> DataFrame:
     """Adds col_id, y_band, position (1-based reading order per page).
     Requires columns media_ref, x1, y1, x2, y2, page_width."""

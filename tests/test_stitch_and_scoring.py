@@ -58,3 +58,25 @@ def test_model_provider_lazy_singleton():
 
     with pytest.raises(NotImplementedError):
         slots.render_pdf_pages(b"%PDF-1.4")
+
+
+def test_order_lines_with_separators(spark):
+    import pandas as pd
+
+    from surya_spark.operators import reading_order
+
+    # 3-column page: separators at x=340 and x=680
+    lines = spark.createDataFrame(pd.DataFrame(
+        [("m", 0, 700.0, 100.0, 800.0, 120.0, 1024),   # col 2, top
+         ("m", 1, 10.0, 500.0, 200.0, 520.0, 1024),    # col 0, bottom
+         ("m", 2, 10.0, 100.0, 200.0, 120.0, 1024),    # col 0, top
+         ("m", 3, 350.0, 100.0, 600.0, 120.0, 1024)],  # col 1
+        columns=["media_ref", "line_idx", "x1", "y1", "x2", "y2",
+                 "page_width"]))
+    seps = spark.createDataFrame(pd.DataFrame(
+        [("m", 0, 338.0, 50.0, 342.0, 900.0),
+         ("m", 1, 678.0, 50.0, 682.0, 900.0)],
+        columns=["media_ref", "seg_id", "x1", "y1", "x2", "y2"]))
+    out = reading_order.order_lines_with_separators(lines, seps)
+    order = [r["line_idx"] for r in out.orderBy("position").collect()]
+    assert order == [2, 1, 3, 0]  # col0 top→bottom, then col1, then col2
