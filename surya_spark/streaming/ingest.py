@@ -53,6 +53,72 @@ def stream_extract(
     return writer.start()
 
 
+def sessionize_stateful(events_stream: DataFrame,
+                        gap_seconds: int = 1800,
+                        watermark: str = "2 hours"):
+    """Custom stateful streaming operator: per-user session windows via
+    applyInPandasWithState — the escape hatch for semantics built-in
+    windows can't express (session close emits exactly one row per
+    session when the gap elapses).
+
+    State per user: (session_start, last_seen, n_events). A micro-batch
+    extends or closes sessions; timed-out state flushes on watermark.
+    Returns a streaming DataFrame (user_id, session_start, session_end,
+    n_events)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, session_start double, session_end double, "
+        "n_events int"
+    )
+    state_schema = "start double, last double, n int"
+
+    def fn(key, pdfs, state):
+        user_id = key[0]
+        if state.hasTimedOut:
+            (start, last, n) = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [user_id], "session_start": [start],
+                "session_end": [last], "n_events": [n],
+            })
+            return
+        rows = []
+        secs: list[float] = []
+        for pdf in pdfs:
+            secs.extend(float(v) for v in pdf["sec"])
+        secs.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        for s in secs:
+            if last is not None and s - last > gap_seconds:
+                rows.append((user_id, start, last, n))
+                start, n = s, 0
+            if start is None:
+                start = s
+            last = s
+            n += 1
+        state.update((start, last, n))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        yield pd.DataFrame(
+            rows, columns=["user_id", "session_start", "session_end",
+                           "n_events"])
+
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .selectExpr("user_id", "cast(unix_timestamp(ts) as double) as sec",
+                    "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                           watermark: str = "2 hours") -> DataFrame:
     """Tumbling-window counts per event_type with a watermark for late

@@ -47,3 +47,35 @@ def test_windowed_event_counts_static(spark):
             for r in ingest.windowed_event_counts(e).collect()}
     assert rows["2024-01-01 00:00:00"] == 2
     assert rows["2024-01-01 01:00:00"] == 1
+
+
+def test_sessionize_stateful(spark, tmp_path):
+    import pandas as pd
+
+    src_dir = str(tmp_path / "ev_in")
+    out_dir = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+    # user 1: two sessions separated by a >30min gap; user 2: one session
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00:00", "2024-01-01 00:10:00",
+            "2024-01-01 02:00:00",
+            "2024-01-01 00:05:00", "2024-01-01 00:06:00",
+        ]),
+    })
+    spark.createDataFrame(ev).write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema("user_id bigint, ts timestamp") \
+        .parquet(src_dir)
+    q = (
+        ingest.sessionize_stateful(stream, gap_seconds=1800)
+        .writeStream.format("parquet")
+        .option("path", out_dir).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out_dir).collect()
+    # closed sessions emitted so far: user 1's FIRST session (closed by
+    # the 2:00 event); open sessions stay in state until timeout
+    closed = {(r["user_id"], r["n_events"]) for r in rows}
+    assert (1, 2) in closed
