@@ -342,8 +342,10 @@ def q_exact_dedup(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
+    # df_cap=50 exercises the hot-shingle document-frequency cap (skew
+    # guard for stop-shingles); the oracle applies the identical cap
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.05
+        _t(spark, sf_dir, "documents"), threshold=0.05, df_cap=50
     )
 
 
@@ -500,19 +502,40 @@ def q_vertical_line_merge(spark, sf_dir):
     return merge_vertical_lines(segs)
 
 
+# four corruption patterns, one per stateful-repair behavior; outputs are
+# closed-form constants (verified by tests/test_text_pudf.py kernels), so
+# the DuckDB oracle is a CASE expression over doc_id % 4
+_CLEANUP_IN = [
+    "<i><math>x <br>+ y</math> tail text",            # tag strip inside math
+    "orphan closer</math> stays clean",               # orphan </math> drop
+    "start repeated tail! repeated tail! repeated tail!",  # tail repetition
+    "<b>bold <i>italic</b> leftover",                 # unbalanced tag stack
+]
+_CLEANUP_OUT = [
+    "<i><math>x + y</math> tail text</i>",
+    "orphan closer stays clean",
+    "start repeated tail!",
+    "<b>bold <i>italic leftover</i></b>",
+]
+
+
 def q_text_cleanup(spark, sf_dir):
-    # deterministic corruption of real texts → stateful P-UDF repairs
+    # fixed corruption patterns keyed by doc_id % 4 → stateful P-UDF
+    # repairs; every kernel behavior (math-tag scrub, orphan-closer drop,
+    # tail-repetition truncation, tag-stack repair) is oracle-checked
     from surya_spark.functions.text_pudf import (
         clean_math_tags_udf, fix_unbalanced_tags_udf,
         truncate_repetitions_udf)
 
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat(F.lit("<i><math>"), F.substring("text", 1, 40),
-                 F.lit("<br></math>"),
-                 F.substring("text", 1, 20), F.substring("text", 1, 20),
-                 F.substring("text", 1, 20)).alias("corrupted"),
+    pat = F.col("doc_id") % 4
+    corrupted = (
+        F.when(pat == 0, F.lit(_CLEANUP_IN[0]))
+        .when(pat == 1, F.lit(_CLEANUP_IN[1]))
+        .when(pat == 2, F.lit(_CLEANUP_IN[2]))
+        .otherwise(F.lit(_CLEANUP_IN[3]))
     )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", corrupted.alias("corrupted"))
     cleaned = d.withColumn(
         "cleaned",
         truncate_repetitions_udf()(
@@ -590,14 +613,20 @@ def q_extract_parity(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
+    # md5lin hash mode: every hash (shingle id, 64 linear permutations,
+    # band buckets) is replicated bit-for-bit by the DuckDB oracle, so
+    # candidate generation — not just verification — is machine-checked
     return dedup.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.05
+        _t(spark, sf_dir, "documents"), threshold=0.05, hash_mode="md5lin"
     )
 
 
 def q_simhash_pairs(spark, sf_dir):
+    # max_dist=3 with max_dist+1 segment blocking → recall is exact by
+    # pigeonhole; the oracle computes the NON-blocked all-pairs answer,
+    # so any blocking recall bug is a machine-checked mismatch
     sim = dedup.simhash(_t(spark, sf_dir, "documents"))
-    return dedup.simhash_pairs(sim, max_dist=16)
+    return dedup.simhash_pairs(sim, max_dist=3)
 
 
 def q_media_metadata(spark, sf_dir):
@@ -664,8 +693,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    jacc_pairs = f"""
-        WITH t AS (
+    # shared CTE text: normalized word tokens → distinct 3-word shingles
+    shingle_cte = f"""
+        t AS (
           SELECT doc_id, source, {_TOKS_SQL} AS toks
           FROM (SELECT doc_id, source, {_NORM_SQL} AS text FROM documents)
         ),
@@ -676,14 +706,124 @@ def oracle_sql() -> dict[str, str]:
                                   for i in range(1, len(toks) - 1)])
                  ELSE [array_to_string(toks, ' ')] END AS sh
           FROM t
-        ),
-        p AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                       / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
-          FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
         )
-        SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.05
+    """
+
+    # inverted-index jaccard with the same df_cap=50 hot-shingle guard the
+    # Spark query applies (jaccard over the capped shingle universe)
+    jacc_pairs = f"""
+        WITH {shingle_cte},
+        e AS (SELECT doc_id, source, unnest(sh) AS g FROM s),
+        f AS (
+          SELECT doc_id, source, g FROM (
+            SELECT *, count(*) OVER (PARTITION BY source, g) AS df FROM e)
+          WHERE df <= 50
+        ),
+        n AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS nn
+              FROM f GROUP BY doc_id),
+        ix AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS DOUBLE) AS ni
+          FROM f a JOIN f b
+            ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(ni / (na.nn + nb.nn - ni), 6) AS jaccard
+        FROM ix JOIN n na ON ix.doc_a = na.doc_id
+                JOIN n nb ON ix.doc_b = nb.doc_id
+        WHERE round(ni / (na.nn + nb.nn - ni), 6) >= 0.05
+    """
+
+    # full bit-replication of the md5lin MinHash+LSH path: 60-bit shingle
+    # ids from md5 hex, 64 linear permutations mod 2^31-1 (identical
+    # coefficients), 16 band buckets = comma-joined signature slices,
+    # candidate equi-join, exact-jaccard verification
+    coef_values = ",\n              ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup.lin_coeffs(64))
+    )
+    minhash_sql = f"""
+        WITH {shingle_cte},
+        e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        hh AS (SELECT doc_id,
+                      ('0x' || substr(md5(g), 1, 15))::BIGINT
+                        % {dedup.LIN_P} AS hm
+               FROM e),
+        coef(i, a, b) AS (
+          VALUES {coef_values}
+        ),
+        sig AS (
+          SELECT doc_id, c.i,
+                 min((c.a * hm + c.b) % {dedup.LIN_P}) AS v
+          FROM hh CROSS JOIN coef c GROUP BY doc_id, c.i
+        ),
+        bandt AS (
+          SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+                 string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS bucket
+          FROM sig GROUP BY doc_id, i // 4
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bandt a JOIN bandt b
+            ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+        ),
+        n AS (SELECT doc_id, CAST(len(sh) AS DOUBLE) AS nn FROM s),
+        ix AS (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS ni
+          FROM cand c JOIN s sa ON c.doc_a = sa.doc_id
+                      JOIN s sb ON c.doc_b = sb.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(ni / (na.nn + nb.nn - ni), 6) AS jaccard
+        FROM ix JOIN n na ON ix.doc_a = na.doc_id
+                JOIN n nb ON ix.doc_b = nb.doc_id
+        WHERE round(ni / (na.nn + nb.nn - ni), 6) >= 0.05
+    """
+
+    # exact (NON-blocked) all-pairs SimHash at max_dist=3 — the oracle
+    # recomputes every document's 64-bit simhash from scratch
+    # (md5_number_upper == int.from_bytes(md5[:8], 'little'), the token
+    # hash the Spark UDF uses) and cross-joins, so the Spark side's
+    # pigeonhole segment blocking is verified to lose NO pairs
+    simhash_sql = """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                        x -> len(x) > 0)) AS tok
+          FROM documents
+        ),
+        bits AS (
+          SELECT doc_id, r.range AS b,
+                 sum(CASE WHEN (md5_number_upper(tok)
+                                >> CAST(r.range AS INTEGER)) & 1 = 1
+                          THEN 1 ELSE -1 END) AS acc
+          FROM toks CROSS JOIN range(0, 64) r
+          GROUP BY doc_id, r.range
+        ),
+        hv AS (
+          SELECT doc_id,
+                 sum(CASE WHEN acc > 0
+                          THEN CAST(power(2, b) AS HUGEINT)
+                          ELSE 0::HUGEINT END) AS uval
+          FROM bits GROUP BY doc_id
+        ),
+        sh AS (
+          SELECT d.doc_id,
+                 CAST(CASE WHEN coalesce(h.uval, 0::HUGEINT)
+                                >= 9223372036854775808::HUGEINT
+                           THEN coalesce(h.uval, 0::HUGEINT)
+                                - 18446744073709551616::HUGEINT
+                           ELSE coalesce(h.uval, 0::HUGEINT)
+                      END AS BIGINT) AS sh
+          FROM (SELECT DISTINCT doc_id FROM documents) d
+          LEFT JOIN hv h ON d.doc_id = h.doc_id
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
     """
 
     quality_sql = """
@@ -906,6 +1046,8 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "ngram_jaccard": jacc_pairs,
+        "minhash_lsh": minhash_sql,
+        "simhash_pairs": simhash_sql,
         "ocr_error_labels": """
             SELECT doc_id,
                    CASE WHEN length(text) > 0
@@ -1047,9 +1189,8 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(value), 6) AS avg_value
             FROM events GROUP BY 1, 2, 3
         """,
-        # extract_pipeline / minhash_lsh / simhash_pairs / media_metadata /
-        # greedy_iou_match / vertical_line_merge / text_cleanup /
-        # media_features: intentionally omitted — surrogate-UDF,
-        # hash-family, or inherently-sequential kernels are not
-        # ANSI-SQL-expressible; the driver records rows-only checks.
+        # greedy_iou_match / vertical_line_merge: intentionally omitted —
+        # greedy 1-1 assignment and transitive union-find are inherently
+        # sequential per group and have no SQL-expressible equivalent;
+        # the driver records rows-only checks for these two.
     }

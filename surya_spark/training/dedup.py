@@ -16,10 +16,35 @@ from pyspark.sql import types as T
 
 from ..functions import text as TX
 
+# 31-bit Mersenne prime for the minhash linear-permutation family
+# sig_i(x) = (a_i * (h(x) mod P) + b_i) mod P — products stay < 2^62 so the
+# arithmetic is exact in BIGINT on both Spark and DuckDB (oracle parity)
+# with no overflow even under ANSI mode.
+LIN_P = 2_147_483_647
+
+
+def lin_coeffs(n: int, seed: int = 20240816) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the linear minhash permutations.
+    Shared by the Spark implementation and the DuckDB oracle generator."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, LIN_P), rng.randrange(0, LIN_P))
+            for _ in range(n)]
+
+
+def md5_id60(col) -> "F.Column":
+    """Positive 60-bit id from the first 15 hex chars of md5 — chosen
+    because DuckDB computes the identical value as
+    ('0x' || substr(md5(x), 1, 15))::BIGINT, giving hash-level oracle
+    parity (xxhash64 has no DuckDB equivalent)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
 
 def shingle_id_rows(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", k: int = 3,
-                    extra_cols: tuple[str, ...] = ()) -> DataFrame:
+                    extra_cols: tuple[str, ...] = (),
+                    hashed: str = "xxhash64") -> DataFrame:
     """Flat (doc_id, [extra...], s) rows of DISTINCT hashed word k-shingles.
 
     Physical shape chosen by measurement: posexplode tokens → lead(k−1)
@@ -27,7 +52,10 @@ def shingle_id_rows(docs: DataFrame, text_col: str = "text",
     whole-stage-codegen; the array-valued transform() formulation of the
     same thing evaluates interpreted and ran ~10× slower at sf0.1.
     Short docs (< k tokens) contribute one whole-text shingle, matching
-    TX.shingles/shingle_ids semantics exactly."""
+    TX.shingles/shingle_ids semantics exactly.
+
+    hashed='xxhash64' (fast JVM path) or 'md5' (md5_id60 of the
+    space-joined shingle string — bit-replicable by the DuckDB oracle)."""
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         *[F.col(c) for c in extra_cols],
@@ -41,9 +69,14 @@ def shingle_id_rows(docs: DataFrame, text_col: str = "text",
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.lead("tok", j).over(w) for j in range(1, k)]
-    sid = F.when(
-        F.col("nt") >= k, F.xxhash64(F.col("tok"), *leads)
-    ).otherwise(F.xxhash64(F.col("joined")))
+    if hashed == "md5":
+        sid = F.when(
+            F.col("nt") >= k, md5_id60(F.concat_ws(" ", F.col("tok"), *leads))
+        ).otherwise(md5_id60(F.col("joined")))
+    else:
+        sid = F.when(
+            F.col("nt") >= k, F.xxhash64(F.col("tok"), *leads)
+        ).otherwise(F.xxhash64(F.col("joined")))
     keep = ((F.col("nt") >= k) & (F.col("pos") <= F.col("nt") - k)) | (
         (F.col("nt") < k) & (F.col("pos") == 0)
     )
@@ -74,7 +107,8 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", block_col: str = "source",
-                        k: int = 3, threshold: float = 0.5) -> DataFrame:
+                        k: int = 3, threshold: float = 0.5,
+                        df_cap: int | None = None) -> DataFrame:
     """n-gram (word k-shingle) Jaccard via an inverted index: explode
     (doc, shingle), self-join on (block, shingle), count co-occurrences →
     |A∩B|; |A∪B| = |A|+|B|−|A∩B|.
@@ -85,10 +119,25 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     co-occurrence. Shingles travel as hashed 64-bit ids (shingle_ids) and
     each side's set size rides along the exploded rows, so the whole
     operator is one self-join + one groupBy — no extra size joins, no
-    string shuffles. The shuffle key is (block, shingle id); a
-    stop-shingle cap would bound hot shingles at corpus scale."""
+    string shuffles. The shuffle key is (block, shingle id).
+
+    df_cap bounds hot-shingle skew: a shingle present in more than df_cap
+    docs within a block (a stop-shingle like "the the of") would make the
+    self-join quadratic on that one key at corpus scale. With df_cap set,
+    such shingles are removed from the universe BEFORE the join — both
+    from the index and from the per-doc set sizes, so the result is the
+    exact Jaccard over the capped shingle universe (a well-defined,
+    oracle-replicable semantic, not an approximation of the uncapped one).
+    Worst-case join fan-out per (block, shingle) key is then df_cap²."""
     rows = shingle_id_rows(docs, text_col, id_col, k,
                            extra_cols=(block_col,))
+    if df_cap is not None:
+        wdf = Window.partitionBy(block_col, "s")
+        rows = (
+            rows.withColumn("_df", F.count(F.lit(1)).over(wdf))
+            .filter(F.col("_df") <= df_cap)
+            .drop("_df")
+        )
     ex = rows.withColumn(
         "n",
         F.count(F.lit(1)).over(Window.partitionBy("doc_id")).cast("double"),
@@ -118,58 +167,111 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     ).filter(F.col("jaccard") >= threshold)
 
 
+def _minhash_wide(rows: DataFrame, n_hashes: int,
+                  hash_mode: str) -> DataFrame:
+    """(doc_id, h0..h{n-1}) from flat shingle-id rows: one groupBy with
+    n_hashes min() aggregates. All JVM/codegen; the naive alternative
+    (nested higher-order transforms over the shingle array) falls out of
+    whole-stage codegen and runs ~50× slower — measured, not guessed.
+
+    hash_mode='xxhash64': sig_i = min xxhash64(s, i) (fast JVM path).
+    hash_mode='md5lin':   sig_i = min (a_i·(s mod P) + b_i) mod P over the
+    md5-based 60-bit shingle ids — one md5 per shingle plus 64 exact
+    integer multiply-adds, replicable bit-for-bit by the DuckDB oracle."""
+    if hash_mode == "md5lin":
+        coeffs = lin_coeffs(n_hashes)
+        sm = F.pmod(F.col("s"), F.lit(LIN_P))
+        aggs = [
+            F.min(F.pmod(F.lit(a) * sm + F.lit(b), F.lit(LIN_P))).alias(f"h{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    return rows.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3,
-                       n_hashes: int = 64) -> DataFrame:
-    """MinHash signature per doc: sig[i] = min over shingles of
-    xxhash64(shingle_id, i).
-
-    Physical form: explode hashed shingle ids → one groupBy with n_hashes
-    min() aggregates → array. All JVM/codegen; the naive alternative
-    (nested higher-order transforms over the shingle array) falls out of
-    whole-stage codegen and runs ~50× slower — measured, not guessed."""
-    ex = shingle_id_rows(docs, text_col, id_col, k)
-    aggs = [
-        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    return (
-        ex.groupBy("doc_id")
-        .agg(*aggs)
-        .select(
-            "doc_id",
-            F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"),
-        )
+                       n_hashes: int = 64,
+                       hash_mode: str = "xxhash64") -> DataFrame:
+    """MinHash signature array per doc (see _minhash_wide)."""
+    sh_hash = "md5" if hash_mode == "md5lin" else "xxhash64"
+    ex = shingle_id_rows(docs, text_col, id_col, k, hashed=sh_hash)
+    return _minhash_wide(ex, n_hashes, hash_mode).select(
+        "doc_id",
+        F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"),
     )
+
+
+def _jaccard_over_candidates(cand: DataFrame, rows: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs WITHOUT shipping shingle arrays:
+    semi-join the flat (doc_id, s) index on candidate docs, then count
+    co-occurrences per pair with two equi-joins. No collect_list — a
+    10⁵-shingle document contributes 10⁵ small rows to a hash shuffle
+    instead of a 10⁵-element array on every candidate pair row."""
+    n = rows.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"))
+    docs_c = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    r = rows.select("doc_id", "s").join(docs_c, "doc_id", "left_semi")
+    inter = (
+        cand
+        .join(r.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(r.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_inter"))
+    )
+    out = (
+        inter
+        .join(n.select(F.col("doc_id").alias("doc_a"),
+                       F.col("n").alias("n_a")), "doc_a")
+        .join(n.select(F.col("doc_id").alias("doc_b"),
+                       F.col("n").alias("n_b")), "doc_b")
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    jac = F.when(union > 0, F.col("n_inter") / union).otherwise(F.lit(0.0))
+    return out.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3,
                       n_hashes: int = 64, bands: int = 16,
-                      threshold: float = 0.5) -> DataFrame:
-    """MinHash + LSH banding: band bucket = hash of a signature slice;
-    candidates = equi-join on (band, bucket); candidates verified with
-    exact shingle Jaccard. The shuffle key is the band bucket — uniform by
-    construction — and verification only touches candidate pairs, which is
-    what makes near-dup feasible at 10^12 docs."""
+                      threshold: float = 0.5,
+                      hash_mode: str = "xxhash64") -> DataFrame:
+    """MinHash + LSH banding: band bucket = the signature slice itself
+    (comma-joined); candidates = equi-join on (band, bucket); candidates
+    verified with exact shingle Jaccard via candidate-restricted
+    co-occurrence counting (_jaccard_over_candidates — no shingle arrays
+    ever shuffle). The shuffle key is the band bucket — uniform by
+    construction — which is what makes near-dup feasible at 10^12 docs.
+
+    Output = pairs that are LSH candidates AND whose exact Jaccard ≥
+    threshold (banding recall at low thresholds is probabilistic — callers
+    wanting exhaustive low-similarity pairs should use ngram_jaccard_pairs).
+    hash_mode='md5lin' makes every hash DuckDB-replicable (oracle parity);
+    'xxhash64' is the fastest JVM path."""
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(docs, text_col, id_col, k, n_hashes)
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
-                ),
-            )
-        ).alias("band", "bucket"),
+    sh_hash = "md5" if hash_mode == "md5lin" else "xxhash64"
+    # the flat shingle index feeds BOTH the signature agg and the verify
+    # joins — persist or Spark re-executes the whole lineage per branch
+    rows = shingle_id_rows(docs, text_col, id_col, k,
+                           hashed=sh_hash).persist()
+    wide = _minhash_wide(rows, n_hashes, hash_mode)
+    band_cols = [
+        F.concat_ws(",", *[
+            F.col(f"h{b * rows_per_band + j}").cast("string")
+            for j in range(rows_per_band)
+        ])
+        for b in range(bands)
+    ]
+    banded = wide.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -185,21 +287,9 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         )
         .distinct()
     )
-    sh = shingle_id_rows(docs, text_col, id_col, k).groupBy("doc_id").agg(
-        F.collect_list("s").alias("sh")
+    return _jaccard_over_candidates(cand, rows).filter(
+        F.col("jaccard") >= threshold
     )
-    verified = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a")
-                  .withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("sh", "sh_b"), "doc_b")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return verified.select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
-    ).filter(F.col("jaccard") >= threshold)
 
 
 _SIMHASH_OUT = T.StructType([
@@ -244,17 +334,31 @@ def simhash(docs: DataFrame, text_col: str = "text",
 
 
 def simhash_pairs(sim: DataFrame, max_dist: int = 3) -> DataFrame:
-    """Hamming-near pairs via segment blocking: explode each hash into 4
-    16-bit segments, equi-join on (segment_idx, segment_value), verify with
-    bit_count(xor) ≤ max_dist. No cross join anywhere."""
+    """Hamming-near pairs via segment blocking: explode each hash into
+    max_dist+1 disjoint bit segments, equi-join on (segment_idx,
+    segment_value), verify with bit_count(xor) ≤ max_dist. No cross join
+    anywhere, and recall is EXACT by pigeonhole: two hashes within Hamming
+    distance d differ in at most d of the d+1 segments, so at least one
+    segment is identical and the pair is always a candidate.
+
+    Blocking selectivity degrades as segments shrink (max_dist=3 → four
+    16-bit segments; max_dist=16 → seventeen ~4-bit segments whose buckets
+    collide massively) — large max_dist on a large corpus approaches
+    all-pairs and callers should lower it or pre-block."""
+    if not 1 <= max_dist <= 62:
+        raise ValueError("max_dist must be in [1, 62]")
+    n_seg = max_dist + 1
+    bounds = [64 * i // n_seg for i in range(n_seg + 1)]
+    seg_exprs = []
+    for i in range(n_seg):
+        start, width = bounds[i], bounds[i + 1] - bounds[i]
+        mask = (1 << width) - 1
+        # arithmetic shiftright fills sign bits; the width mask cuts them
+        seg_exprs.append(
+            F.shiftright(F.col("simhash"), start).bitwiseAND(F.lit(mask)))
     seg = sim.select(
         "doc_id", "simhash",
-        F.posexplode(
-            F.array(*[
-                F.shiftright("simhash", s * 16).bitwiseAND(F.lit(0xFFFF))
-                for s in range(4)
-            ])
-        ).alias("seg_idx", "seg_val"),
+        F.posexplode(F.array(*seg_exprs)).alias("seg_idx", "seg_val"),
     )
     a, b = seg.alias("a"), seg.alias("b")
     cand = (
@@ -269,7 +373,7 @@ def simhash_pairs(sim: DataFrame, max_dist: int = 3) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             F.bit_count(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            ).cast("int").alias("hamming"),
         )
         .distinct()
     )

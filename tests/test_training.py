@@ -59,6 +59,51 @@ def test_simhash_near_pairs(spark):
     assert (1, 4) not in pairs
 
 
+def test_simhash_blocking_recall_exact(spark):
+    """Pigeonhole guarantee: segment blocking must find EVERY pair within
+    max_dist — compare against the brute-force cross join at several
+    max_dist values (the round-1 bug was max_dist=16 with only 4 segments)."""
+    sim = dedup.simhash(_docs(spark))
+    rows = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    ids = sorted(rows)
+    for max_dist in (1, 3, 8, 16):
+        blocked = {(r["doc_a"], r["doc_b"])
+                   for r in dedup.simhash_pairs(sim, max_dist).collect()}
+        brute = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+                 if bin((rows[a] ^ rows[b]) & ((1 << 64) - 1)).count("1")
+                 <= max_dist}
+        assert blocked == brute, f"recall broken at max_dist={max_dist}"
+
+
+def test_ngram_df_cap_drops_hot_shingles(spark):
+    """A stop-shingle present in every doc must not contribute to jaccard
+    when df_cap binds; pairs related ONLY through the hot shingle vanish."""
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, f"common stop shingle unique{i} tail{i} word{i}", "a")
+             for i in range(1, 7)],
+            columns=["doc_id", "text", "source"],
+        )
+    )
+    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.01).count()
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.01, df_cap=3).count()
+    assert uncapped > 0      # every pair shares 'common stop shingle'
+    assert capped == 0       # hot shingle removed → no shared shingles left
+
+
+def test_minhash_md5lin_matches_xxhash_pairs(spark):
+    """Both hash modes must verify the same high-similarity pairs on the
+    fixture corpus (banding recall ≈ 1 at jaccard ≥ 0.3)."""
+    fast = {(r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_lsh_pairs(
+                _docs(spark), threshold=0.3).collect()}
+    parity = {(r["doc_a"], r["doc_b"])
+              for r in dedup.minhash_lsh_pairs(
+                  _docs(spark), threshold=0.3, hash_mode="md5lin").collect()}
+    assert (1, 2) in fast and (1, 2) in parity
+    assert (1, 3) in fast and (1, 3) in parity
+
+
 def test_knn_and_near_dup(spark):
     vecs = spark.createDataFrame(
         pd.DataFrame({
