@@ -98,6 +98,26 @@ _TRUTH_SQL = """
     FROM orders
 """
 
+def _values_sql(rows: list[tuple], cols: list[str]) -> str:
+    """Inline VALUES oracle: the expected result as SQL literals. Used for
+    closed-form expectations (datagen truth) that no table-derived SQL can
+    express — the strongest possible oracle, since the driver hash-compares
+    the engine output against a fully materialized constant."""
+    def q(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        return "'" + str(v).replace("'", "''") + "'"
+
+    body = ",\n".join(
+        "(" + ", ".join(q(v) for v in r) + ")" for r in rows)
+    quoted = ", ".join(f'"{c}"' for c in cols)  # "offset" etc. are reserved
+    return f"SELECT * FROM (VALUES {body}) AS t({quoted})"
+
+
 _NORM_SQL = (
     "lower(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
     "text, '<math(\\s[^>]*)?>.*?</math>', ' ', 'g'), '<[^>]+>', '', 'g'), "
@@ -546,14 +566,17 @@ def q_text_cleanup(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
+    # first two feature components floored at 1e-6 grain (float32→double is
+    # exact, so floor(x*1e6) is deterministic across engines); the oracle
+    # recomputes the same fake-extractor values in Python → VALUES
     blobs = datagen.gen_page_blobs(spark, N_DOCS_QUERY, partitions=8)
     out = multimodal.media_features(blobs, dim=16)
     return out.select(
         "media_ref",
-        F.round(
-            F.aggregate("feature", F.lit(0.0),
-                        lambda a, v: a + v.cast("double")), 4
-        ).alias("feat_sum"),
+        F.floor(F.element_at("feature", 1).cast("double") * 1e6)
+        .alias("f0"),
+        F.floor(F.element_at("feature", 2).cast("double") * 1e6)
+        .alias("f1"),
         F.size("feature").alias("dim"),
     )
 
@@ -863,7 +886,61 @@ def oracle_sql() -> dict[str, str]:
       len(list_intersect(dtoks, ['el','la','los','las','de','que','y','en','un','es'])) AS hs
     """
 
+    # ---- closed-form VALUES oracles: the datagen ground truth itself ----
+    # (pure Python — no Spark; the driver hash-compares engine output
+    # against the fully materialized expected constant)
+    import math
+
+    exp_parity, exp_pipeline, exp_meta, exp_feat = [], [], [], []
+    for i in range(N_DOCS_QUERY):
+        did = f"doc-{i:09d}"
+        spans = datagen.expected_out_spans(i)
+        exp_parity.append((did, len(spans), True))
+        for s in spans:
+            exp_pipeline.append(
+                (did, s["offset"], s["kind"], s["text"], s["media_ref"]))
+        for s in datagen.doc_plan(i):
+            if s["media_ref"] is None:
+                continue
+            desc = datagen.make_page_descriptor(i, s["offset"], s["kind"])
+            blob = datagen.encode_page(desc)
+            exp_meta.append((s["media_ref"], "image", desc["w"], desc["h"],
+                             len(blob), "spg1"))
+            feat = multimodal._fake_features(blob, 16)
+            exp_feat.append((s["media_ref"],
+                             math.floor(float(feat[0]) * 1e6),
+                             math.floor(float(feat[1]) * 1e6), 16))
+
+    parity_sql = _values_sql(exp_parity, ["doc_id", "n_spans", "matches"])
+    pipeline_sql = _values_sql(
+        exp_pipeline, ["doc_id", "offset", "kind", "text", "media_ref"])
+    meta_sql = (
+        "SELECT media_ref, media_type, width, height, "
+        "CAST(n_bytes AS BIGINT) AS n_bytes, format FROM ("
+        + _values_sql(exp_meta, ["media_ref", "media_type", "width",
+                                 "height", "n_bytes", "format"]) + ")")
+    feat_sql = (
+        "SELECT media_ref, CAST(f0 AS BIGINT) AS f0, "
+        "CAST(f1 AS BIGINT) AS f1, dim FROM ("
+        + _values_sql(exp_feat, ["media_ref", "f0", "f1", "dim"]) + ")")
+
+    cleanup_sql = f"""
+        SELECT doc_id,
+               CASE CAST(doc_id % 4 AS INTEGER)
+                 WHEN 0 THEN '{_CLEANUP_OUT[0]}'
+                 WHEN 1 THEN '{_CLEANUP_OUT[1]}'
+                 WHEN 2 THEN '{_CLEANUP_OUT[2]}'
+                 ELSE '{_CLEANUP_OUT[3]}'
+               END AS cleaned
+        FROM documents
+    """
+
     return {
+        "extract_pipeline": pipeline_sql,
+        "extract_parity": parity_sql,
+        "media_metadata": meta_sql,
+        "media_features": feat_sql,
+        "text_cleanup": cleanup_sql,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
