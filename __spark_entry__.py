@@ -344,6 +344,38 @@ def q_coverage_metric(spark, sf_dir):
     )
 
 
+def q_bbox6_roundtrip(spark, sf_dir):
+    """bbox6 (cx,cy,w,h,skew6) → polygon → bbox6: the model-output decode
+    path (ref surya/layout/util.py:4-40, surya/table_rec/shaper.py:83-142)
+    on integer-derived 6-tuples so every double is bit-exact vs the oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    b6 = li.select(
+        (F.col("l_orderkey") * 10_000_000_000
+         + F.col("l_partkey") * 100_000
+         + F.col("l_suppkey") * 10
+         + F.col("l_linenumber")).alias("box_id"),
+        ((F.col("l_partkey") * 7) % 800 + 100).cast("double").alias("cx"),
+        ((F.col("l_suppkey") * 13) % 800 + 100).cast("double").alias("cy"),
+        ((F.col("l_partkey") % 120) + 10).cast("double").alias("w"),
+        ((F.col("l_suppkey") % 80) + 10).cast("double").alias("h"),
+        (F.lit(512) + (F.col("l_partkey") % 41) - 20).cast("double")
+        .alias("sx6"),
+        (F.lit(512) + (F.col("l_suppkey") % 31) - 15).cast("double")
+        .alias("sy6"),
+    ).dropDuplicates(["box_id"])
+    poly = G.bbox6_to_poly(F.col("cx"), F.col("cy"), F.col("w"), F.col("h"),
+                           F.col("sx6"), F.col("sy6"))
+    withp = b6.withColumn("poly", poly)
+    rt = G.poly_to_bbox6(F.col("poly"))
+    names = ["cx2", "cy2", "w2", "h2", "sx62", "sy62"]
+    return withp.select(
+        "box_id",
+        *[F.col("poly")[i][a].alias(f"p{'xy'[a]}{i}")
+          for i in range(4) for a in (0, 1)],
+        *[c.alias(n) for c, n in zip(rt, names)],
+    )
+
+
 def q_confidence_normalize(spark, sf_dir):
     b = _boxes(spark, sf_dir)
     w = Window.partitionBy("page_id")
@@ -689,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_cells": q_grid_cells,
         "coverage_metric": q_coverage_metric,
         "confidence_normalize": q_confidence_normalize,
+        "bbox6_roundtrip": q_bbox6_roundtrip,
         "text_profile": q_text_profile,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1121,6 +1154,46 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
                      AS keep
             FROM f
+        """,
+        "bbox6_roundtrip": """
+            WITH b AS (
+              SELECT DISTINCT
+                     l_orderkey * 10000000000 + l_partkey * 100000
+                       + l_suppkey * 10 + l_linenumber AS box_id,
+                     CAST((l_partkey * 7) % 800 + 100 AS DOUBLE) AS cx,
+                     CAST((l_suppkey * 13) % 800 + 100 AS DOUBLE) AS cy,
+                     CAST((l_partkey % 120) + 10 AS DOUBLE) AS w,
+                     CAST((l_suppkey % 80) + 10 AS DOUBLE) AS h,
+                     CAST(512 + (l_partkey % 41) - 20 AS DOUBLE) AS sx6,
+                     CAST(512 + (l_suppkey % 31) - 15 AS DOUBLE) AS sy6
+              FROM lineitem
+            ),
+            p AS (
+              SELECT box_id,
+                     cx - w / 2 AS x1, cy - h / 2 AS y1,
+                     cx + w / 2 AS x2, cy + h / 2 AS y2,
+                     CASE WHEN abs(floor((sx6 - 512) / 2)) < 0.001 THEN 0
+                          ELSE floor((sx6 - 512) / 2) END AS sx,
+                     CASE WHEN abs(floor((sy6 - 512) / 2)) < 0.001 THEN 0
+                          ELSE floor((sy6 - 512) / 2) END AS sy
+              FROM b
+            ),
+            c AS (
+              SELECT box_id,
+                     x1 - sx AS px0, y1 - sy AS py0,
+                     x2 - sx AS px1, y1 + sy AS py1,
+                     x2 + sx AS px2, y2 + sy AS py2,
+                     x1 + sx AS px3, y2 - sy AS py3
+              FROM p
+            )
+            SELECT box_id, px0, py0, px1, py1, px2, py2, px3, py3,
+                   (px0 + px1 + px2 + px3) / 4 AS cx2,
+                   (py0 + py1 + py2 + py3) / 4 AS cy2,
+                   (px1 + px2) / 2 - (px0 + px3) / 2 AS w2,
+                   (py2 + py3) / 2 - (py1 + py0) / 2 AS h2,
+                   (px2 + px3) / 2 - (px0 + px1) / 2 + 512 AS sx62,
+                   (py1 + py2) / 2 - (py0 + py3) / 2 + 512 AS sy62
+            FROM c
         """,
         "ngram_jaccard": jacc_pairs,
         "minhash_lsh": minhash_sql,

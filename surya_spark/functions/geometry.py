@@ -71,6 +71,63 @@ def bbox_to_poly(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
     )
 
 
+# ------------------------------------------------------------ bbox6 encoding
+# Models emit boxes as (cx, cy, width, height, skew_x, skew_y) 6-tuples in
+# 0..1024 space; the engine contract is 4-corner polygons. These expressions
+# are required the moment a real model is plugged into any slot.
+
+BOX_DIM = 1024.0  # ref surya/table_rec/model/config.py BOX_DIM
+
+
+def bbox6_to_poly(cx: Column, cy: Column, w: Column, h: Column,
+                  sx6: Column, sy6: Column,
+                  skew_scaler: float = BOX_DIM // 2,
+                  skew_min: float = 0.001,
+                  x_scale: Column | float = 1.0,
+                  y_scale: Column | float = 1.0) -> Column:
+    """(cx,cy,w,h,skew_x,skew_y) 6-tuple → 4-corner polygon.
+    Ref semantics: surya/layout/util.py:4-40 and
+    surya/table_rec/shaper.py:114-142 — skew = floor((s−scaler)/2)
+    (float floor, NOT trunc: negative skews floor toward −inf), skews with
+    |skew| < skew_min zeroed, corners scaled by img/1024 at the end
+    (x_scale/y_scale; the scale multiplies, it does not truncate)."""
+    x1, y1 = cx - w / 2, cy - h / 2
+    x2, y2 = cx + w / 2, cy + h / 2
+    sx = F.floor((sx6 - F.lit(skew_scaler)) / 2).cast("double")
+    sy = F.floor((sy6 - F.lit(skew_scaler)) / 2).cast("double")
+    sx = F.when(F.abs(sx) < skew_min, F.lit(0.0)).otherwise(sx)
+    sy = F.when(F.abs(sy) < skew_min, F.lit(0.0)).otherwise(sy)
+    xs, ys = F.lit(x_scale), F.lit(y_scale)
+    return F.array(
+        F.array((x1 - sx) * xs, (y1 - sy) * ys),
+        F.array((x2 - sx) * xs, (y1 + sy) * ys),
+        F.array((x2 + sx) * xs, (y2 + sy) * ys),
+        F.array((x1 + sx) * xs, (y2 - sy) * ys),
+    )
+
+
+def poly_to_bbox6(poly: Column, box_dim: float = BOX_DIM) -> list[Column]:
+    """4-corner polygon → (cx,cy,width,height,skew_x,skew_y) with skews
+    shifted by box_dim//2 into positive space; corners clipped to
+    [0, box_dim] first. Ref: surya/table_rec/shaper.py:83-112."""
+    def cl(i: int, axis: int) -> Column:
+        v = poly[i][axis]
+        return F.greatest(F.lit(0.0), F.least(v.cast("double"),
+                                              F.lit(float(box_dim))))
+
+    x1, x2, x3, x4 = cl(0, 0), cl(1, 0), cl(2, 0), cl(3, 0)
+    y1, y2, y3, y4 = cl(0, 1), cl(1, 1), cl(2, 1), cl(3, 1)
+    shift = F.lit(float(int(box_dim) // 2))
+    return [
+        ((x1 + x2 + x3 + x4) / 4).alias("cx"),
+        ((y1 + y2 + y3 + y4) / 4).alias("cy"),
+        ((x2 + x3) / 2 - (x1 + x4) / 2).alias("w"),
+        ((y3 + y4) / 2 - (y2 + y1) / 2).alias("h"),
+        ((x3 + x4) / 2 - (x1 + x2) / 2 + shift).alias("sx6"),
+        ((y2 + y3) / 2 - (y1 + y4) / 2 + shift).alias("sy6"),
+    ]
+
+
 # ---------------------------------------------------------------- bbox scalar
 def width(x1: Column, x2: Column) -> Column:
     return x2 - x1
@@ -153,6 +210,61 @@ def merge_bbox(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2) -> list[Column]:
         F.greatest(ax2, bx2).alias("x2"),
         F.greatest(ay2, by2).alias("y2"),
     ]
+
+
+def merge_left(ax1, bx1) -> Column:
+    """New left edge after absorbing the box to the left: min of the two
+    x1 values (applied to polygon corners 0 and 3 in poly_merge_left).
+    Ref: surya/common/polygon.py:90-93."""
+    return F.least(ax1, bx1)
+
+
+def merge_right(ax2, bx2) -> Column:
+    """New right edge: max of the two x2 values (polygon corners 1 and 2).
+    Ref: surya/common/polygon.py:95-98."""
+    return F.greatest(ax2, bx2)
+
+
+def poly_merge_left(poly: Column, other_x1: Column) -> Column:
+    """Extend only the left edge of a polygon to cover other_x1 (corners 0
+    and 3 move; the quad's right edge and skew are preserved).
+    Ref: surya/common/polygon.py:90-93."""
+    nx = F.least(poly[0][0].cast("double"), other_x1.cast("double"))
+    return F.array(
+        F.array(nx, poly[0][1]), poly[1], poly[2],
+        F.array(F.least(poly[3][0].cast("double"), other_x1.cast("double")),
+                poly[3][1]),
+    )
+
+
+def poly_merge_right(poly: Column, other_x2: Column) -> Column:
+    """Extend only the right edge (corners 1 and 2).
+    Ref: surya/common/polygon.py:95-98."""
+    nx = F.greatest(poly[1][0].cast("double"), other_x2.cast("double"))
+    return F.array(
+        poly[0], F.array(nx, poly[1][1]),
+        F.array(F.greatest(poly[2][0].cast("double"),
+                           other_x2.cast("double")), poly[2][1]),
+        poly[3],
+    )
+
+
+def intersect_poly(pa: Column, pb: Column) -> Column:
+    """Cornerwise polygon intersection — max/min per corner exactly as the
+    reference applies it to (possibly skewed) quads, so table cell =
+    row ∩ col keeps corner accuracy for non-axis-aligned boxes; for
+    axis-aligned inputs it reduces to intersect_bbox.
+    Ref: surya/common/polygon.py:115-140."""
+    return F.array(
+        F.array(F.greatest(pa[0][0], pb[0][0]),
+                F.greatest(pa[0][1], pb[0][1])),
+        F.array(F.least(pa[1][0], pb[1][0]),
+                F.greatest(pa[1][1], pb[1][1])),
+        F.array(F.least(pa[2][0], pb[2][0]),
+                F.least(pa[2][1], pb[2][1])),
+        F.array(F.greatest(pa[3][0], pb[3][0]),
+                F.least(pa[3][1], pb[3][1])),
+    )
 
 
 def intersect_bbox(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2) -> list[Column]:

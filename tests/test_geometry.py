@@ -103,3 +103,80 @@ def test_merge_and_intersect(spark):
     assert (row["x1"], row["y1"], row["x2"], row["y2"]) == (0.0, -5.0, 20.0, 10.0)
     row = df.select(*i).collect()[0]
     assert (row["x1"], row["y1"], row["x2"], row["y2"]) == (5.0, 0.0, 10.0, 8.0)
+
+
+def _ref_bbox6_to_poly(box, skew_scaler=512, skew_min=0.001):
+    """Reference reimplementation (surya/table_rec/shaper.py:114-142) as the
+    closed-form oracle for the Spark expressions."""
+    import math
+
+    cx, cy, w, h, s4, s5 = box
+    x1, y1, x2, y2 = cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2
+    sx = math.floor((s4 - skew_scaler) / 2)
+    sy = math.floor((s5 - skew_scaler) / 2)
+    if abs(sx) < skew_min:
+        sx = 0
+    if abs(sy) < skew_min:
+        sy = 0
+    return [[x1 - sx, y1 - sy], [x2 - sx, y1 + sy],
+            [x2 + sx, y2 + sy], [x1 + sx, y2 - sy]]
+
+
+def test_bbox6_to_poly_matches_reference(spark):
+    boxes = [
+        (512.0, 512.0, 200.0, 100.0, 512.0, 512.0),   # axis-aligned
+        (300.0, 400.0, 150.0, 60.0, 530.0, 500.0),    # +x skew, -y skew
+        (100.0, 900.0, 80.0, 40.0, 511.0, 513.0),     # odd skews → floor
+        (700.0, 200.0, 120.0, 90.0, 400.0, 600.0),    # large skews
+    ]
+    pdf = pd.DataFrame(boxes, columns=["cx", "cy", "w", "h", "sx6", "sy6"])
+    df = spark.createDataFrame(pdf)
+    out = df.select(
+        G.bbox6_to_poly(F.col("cx"), F.col("cy"), F.col("w"), F.col("h"),
+                        F.col("sx6"), F.col("sy6")).alias("poly")
+    ).collect()
+    for row, box in zip(out, boxes):
+        got = [[float(c[0]), float(c[1])] for c in row["poly"]]
+        assert got == _ref_bbox6_to_poly(box), box
+
+
+def test_bbox6_poly_roundtrip_identity(spark):
+    """bbox6 → poly → bbox6 is the identity for in-bounds even-skew boxes
+    (floor is exact on even offsets; clipping is a no-op in-bounds)."""
+    boxes = [
+        (512.0, 512.0, 200.0, 100.0, 512.0, 512.0),
+        (300.0, 400.0, 150.0, 60.0, 532.0, 492.0),
+        (200.0, 250.0, 100.0, 80.0, 516.0, 520.0),
+    ]
+    pdf = pd.DataFrame(boxes, columns=["cx", "cy", "w", "h", "sx6", "sy6"])
+    df = spark.createDataFrame(pdf)
+    poly = G.bbox6_to_poly(F.col("cx"), F.col("cy"), F.col("w"), F.col("h"),
+                           F.col("sx6"), F.col("sy6"))
+    out = df.select(*G.poly_to_bbox6(poly)).collect()
+    for row, box in zip(out, boxes):
+        got = (row["cx"], row["cy"], row["w"], row["h"],
+               row["sx6"], row["sy6"])
+        assert got == box, (got, box)
+
+
+def test_poly_merge_left_right_and_quad_intersection(spark):
+    df = spark.range(1)
+    poly = G.bbox_to_poly(F.lit(10.0), F.lit(0.0), F.lit(20.0), F.lit(5.0))
+    row = df.select(
+        G.poly_merge_left(poly, F.lit(4.0)).alias("ml"),
+        G.poly_merge_right(poly, F.lit(30.0)).alias("mr"),
+    ).collect()[0]
+    ml = [[float(v) for v in c] for c in row["ml"]]
+    mr = [[float(v) for v in c] for c in row["mr"]]
+    # merge_left moves corners 0 and 3 only (ref polygon.py:90-93)
+    assert ml == [[4.0, 0.0], [20.0, 0.0], [20.0, 5.0], [4.0, 5.0]]
+    assert mr == [[10.0, 0.0], [30.0, 0.0], [30.0, 5.0], [10.0, 5.0]]
+
+    # skewed-quad intersection: cornerwise max/min (ref polygon.py:115-140)
+    pa = F.array(F.array(F.lit(0.0), F.lit(0.0)), F.array(F.lit(10.0), F.lit(1.0)),
+                 F.array(F.lit(11.0), F.lit(9.0)), F.array(F.lit(1.0), F.lit(8.0)))
+    pb = F.array(F.array(F.lit(5.0), F.lit(2.0)), F.array(F.lit(15.0), F.lit(3.0)),
+                 F.array(F.lit(16.0), F.lit(12.0)), F.array(F.lit(6.0), F.lit(11.0)))
+    row = df.select(G.intersect_poly(pa, pb).alias("p")).collect()[0]
+    got = [[float(v) for v in c] for c in row["p"]]
+    assert got == [[5.0, 2.0], [10.0, 3.0], [11.0, 9.0], [6.0, 8.0]]
