@@ -463,6 +463,25 @@ def q_rank_accuracy(spark, sf_dir):
     )
 
 
+def q_edit_distance(spark, sf_dir):
+    """texify-style normalized Levenshtein (ref benchmark/texify.py:31-38)
+    between each document's text and a deterministic corruption of it
+    (all 'e'→'3', a tag injected); per-source mean mirrors the dataset
+    metric the CI floor gate checks (< 0.2)."""
+    from surya_spark.functions import metrics as M
+
+    d = _t(spark, sf_dir, "documents")
+    pred = F.concat(F.lit("<b>"), F.regexp_replace("text", "e", "3"),
+                    F.lit("</b>"))
+    nd = M.normalized_edit_distance(
+        M.normalize_for_edit(pred), M.normalize_for_edit(F.col("text")))
+    per_doc = d.select("doc_id", "source", nd.alias("nd"))
+    return per_doc.groupBy("source").agg(
+        F.round(F.avg("nd"), 6).alias("mean_edit_distance"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
 def q_salted_doc_stats(spark, sf_dir):
     # salted two-phase aggregation (skew machinery) must equal the plain
     # GROUP BY — the oracle is the unsalted form
@@ -733,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup": q_cosine_near_dup,
         "rank_accuracy": q_rank_accuracy,
         "salted_doc_stats": q_salted_doc_stats,
+        "edit_distance": q_edit_distance,
         "priority_cube": q_priority_cube,
         "windowed_events": q_windowed_events,
         "json_extract": q_json_extract,
@@ -1306,6 +1326,28 @@ def oracle_sql() -> dict[str, str]:
                      AS pair_accuracy
             FROM pred a JOIN pred b ON a.key = b.key AND a.i < b.i
             GROUP BY a.key
+        """,
+        "edit_distance": """
+            WITH n AS (
+              SELECT doc_id, source,
+                     trim(regexp_replace(regexp_replace(
+                       '<b>' || regexp_replace(text, 'e', '3', 'g') || '</b>',
+                       '<[^>]+>', '', 'g'), '\\s+', ' ', 'g')) AS p,
+                     trim(regexp_replace(regexp_replace(
+                       text, '<[^>]+>', '', 'g'), '\\s+', ' ', 'g')) AS r
+              FROM documents
+            ),
+            d AS (
+              SELECT source,
+                     CASE WHEN greatest(length(p), length(r)) > 0
+                          THEN CAST(levenshtein(p, r) AS DOUBLE)
+                               / greatest(length(p), length(r))
+                          ELSE 0.0 END AS nd
+              FROM n
+            )
+            SELECT source, round(avg(nd), 6) AS mean_edit_distance,
+                   count(*) AS n
+            FROM d GROUP BY source
         """,
         "salted_doc_stats": """
             SELECT CAST(l_orderkey % 100 AS VARCHAR) AS grp,

@@ -13,7 +13,7 @@ image grain.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from . import geometry as G
@@ -203,4 +203,36 @@ def rank_accuracy(pred_order: DataFrame, ref_order: DataFrame) -> DataFrame:
     )
     return pairs.groupBy("key").agg(
         (F.sum("ok") / F.count(F.lit(1))).alias("pair_accuracy")
+    )
+
+
+def normalize_for_edit(text: Column) -> Column:
+    """texify benchmark normalization before edit distance: strip/unwrap all
+    tags (keep inner text), collapse whitespace, trim.
+    Ref: /root/reference/benchmark/texify.py:19-28."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(text, "<[^>]+>", ""), r"\s+", " "))
+
+
+def normalized_edit_distance(p: Column, r: Column) -> Column:
+    """Levenshtein normalized_distance: dist / max(len(p), len(r)), 0 when
+    both empty — rapidfuzz semantics, computed with the JVM builtin
+    F.levenshtein (whole-stage codegen, no Python).
+    Ref: /root/reference/benchmark/texify.py:31-38."""
+    d = F.levenshtein(p, r).cast("double")
+    m = F.greatest(F.length(p), F.length(r)).cast("double")
+    return F.when(m > 0, d / m).otherwise(F.lit(0.0))
+
+
+def edit_distance_mean(pred: DataFrame, pred_col: str = "pred",
+                       ref_col: str = "ref") -> DataFrame:
+    """Dataset-level texify metric: mean normalized edit distance after
+    normalization; the CI floor gate asserts mean < 0.2
+    (ref benchmark/utils/verify_benchmark_scores.py:41-44)."""
+    nd = normalized_edit_distance(
+        normalize_for_edit(F.col(pred_col)), normalize_for_edit(F.col(ref_col)))
+    return pred.select(nd.alias("nd")).agg(
+        F.avg("nd").alias("mean_edit_distance"),
+        F.count(F.lit(1)).cast("long").alias("n"),
     )

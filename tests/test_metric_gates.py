@@ -112,3 +112,48 @@ def test_mean_iou_gate(spark, world):
     miou = metrics.mean_iou_matched(pred, truth).agg(
         F.avg("mean_best_iou").alias("m")).collect()[0]["m"]
     assert miou >= 0.75  # table-rec floor analog; jitter+expand keeps ~0.85+
+
+
+def test_edit_distance_gate_on_latex_path(spark):
+    """Texify-style CI floor gate (<0.2 mean normalized edit distance,
+    ref benchmark/utils/verify_benchmark_scores.py:41-44) on the LaTeX
+    block-decode path. With the deterministic surrogate the distance vs
+    truth is exactly 0; a corrupted prediction column checks the metric
+    itself is not trivially zero."""
+    from pyspark.sql import functions as F
+
+    from surya_spark import datagen, pipeline
+    from surya_spark.functions import metrics as M
+    from surya_spark.operators import recognition
+
+    docs = datagen.gen_documents(spark, 12, partitions=2)
+    blobs = datagen.gen_page_blobs(spark, 12, partitions=2)
+    pages = pipeline.pages_for(docs, blobs)
+    preds = recognition.recognize_blocks(pages).select("media_ref", "text")
+
+    # closed-form references: the surrogate block decode picks the truth
+    # line covering the largest area of the whole-page crop
+    refs = []
+    for r in pages.collect():
+        desc = datagen.decode_page(bytes(r["img_bytes"]))
+        best, best_cover = None, -1.0
+        for ln in desc["lines"]:
+            x1, y1, x2, y2 = ln["bbox"]
+            ix = max(0.0, min(x2, r["width"]) - max(x1, 0.0))
+            iy = max(0.0, min(y2, r["height"]) - max(y1, 0.0))
+            if ix * iy > best_cover:
+                best, best_cover = ln, ix * iy
+        refs.append((r["media_ref"], best["text"] if best else ""))
+    ref_df = spark.createDataFrame(refs, "media_ref string, ref string")
+
+    joined = preds.join(ref_df, "media_ref").select(
+        F.col("text").alias("pred"), "ref")
+    row = M.edit_distance_mean(joined).collect()[0]
+    assert row["n"] > 0
+    assert row["mean_edit_distance"] == 0.0  # surrogate is exact
+    assert row["mean_edit_distance"] < 0.2   # the CI floor gate
+
+    corrupted = joined.select(
+        F.concat(F.lit("zz"), F.col("pred")).alias("pred"), "ref")
+    bad = M.edit_distance_mean(corrupted).collect()[0]
+    assert bad["mean_edit_distance"] > 0.0
