@@ -105,6 +105,166 @@ def stitch_positions(tiled: DataFrame,
     )
 
 
+_TILED_OUT = T.StructType(
+    list(_LAYOUT_OUT)
+    + [
+        T.StructField("tile_idx", T.IntegerType(), False),
+        T.StructField("merge_dir", T.StringType(), False),
+    ]
+)
+
+
+def split_layout_regions(pages: DataFrame,
+                         slot: Callable = slots.surrogate_layout,
+                         slice_min: int = 1500,
+                         slice_size: int = 1200,
+                         max_slices: int = 4) -> DataFrame:
+    """Layout tile pre-split: pages larger than slice_min px on either axis
+    are exploded into ≤max_slices tiles along the LONGER axis, the layout
+    slot runs per tile (bounding its activation budget no matter how tall
+    the page), and results are shifted back into page coordinates tagged
+    with tile_idx — the reference ImageSlicer.slice
+    (/root/reference/surya/layout/slicer.py:19-66, settings.py:101-105)
+    re-expressed as flatMap → infer → relational re-key. Small pages pass
+    through as one tile with zero extra cost.
+
+    Regions intersecting a tile appear clipped to it (what a per-tile
+    model would emit); merge_tile_regions reunites the parts."""
+    import json
+    import math
+    import zlib
+
+    from ..datagen import MAGIC, decode_page
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, w, h, blob in zip(
+                pdf["media_ref"], pdf["width"], pdf["height"], pdf["img_bytes"]
+            ):
+                w, h = int(w), int(h)
+                desc = decode_page(bytes(blob))
+                along_h = h >= w
+                dim = h if along_h else w
+                if max(w, h) > slice_min:
+                    step = max(slice_size, dim // max_slices + 1)
+                else:
+                    step = dim  # single tile
+                n_tiles = max(1, math.ceil(dim / step))
+                for ti in range(n_tiles):
+                    o = ti * step
+                    t_end = min(o + step, dim)
+                    tw = w if along_h else (t_end - o)
+                    th = (t_end - o) if along_h else h
+                    sub_regions = []
+                    for r in desc.get("regions", []):
+                        x1, y1, x2, y2 = (float(v) for v in r["bbox"])
+                        lo, hi = (y1, y2) if along_h else (x1, x2)
+                        c_lo, c_hi = max(lo, o), min(hi, t_end)
+                        if c_hi <= c_lo:
+                            continue  # no intersection with this tile
+                        if along_h:
+                            bb = [x1, c_lo - o, x2, c_hi - o]
+                        else:
+                            bb = [c_lo - o, y1, c_hi - o, y2]
+                        sub_regions.append({**r, "bbox": bb})
+                    sub = {"w": tw, "h": th, "regions": sub_regions,
+                           "lines": [], "table": None}
+                    sub_blob = MAGIC + zlib.compress(
+                        json.dumps(sub, sort_keys=True).encode())
+                    dx, dy = (0, o) if along_h else (o, 0)
+                    for d in slot(f"{ref}#t{ti}", tw, th, sub_blob):
+                        rows.append({
+                            "media_ref": ref, **d,
+                            "x1": d["x1"] + dx, "y1": d["y1"] + dy,
+                            "x2": d["x2"] + dx, "y2": d["y2"] + dy,
+                            "page_width": w, "page_height": h,
+                            "tile_idx": ti,
+                            "merge_dir": "height" if along_h else "width",
+                        })
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {f.name: pd.Series([], dtype=object) for f in _TILED_OUT})
+
+    return pages.mapInPandas(run, schema=_TILED_OUT)
+
+
+def merge_tile_regions(tiled: DataFrame,
+                       merge_tolerance: float = 0.05,
+                       merge_margin: float = 0.05) -> DataFrame:
+    """Slicer join/merge rules (/root/reference/surya/layout/slicer.py:68-140):
+    a region from tile t merges into an accumulated region when (a) either
+    direction's intersection_pct with a 5% margin exceeds merge_tolerance,
+    (b) cross-axis overlap exceeds half of either box's extent, and (c) the
+    labels match (Picture/Figure interchangeable). Merged = bbox union;
+    the later tile's box is dropped. Sequential accumulation per page is
+    inherently ordered → applyInPandas per media_ref (≤100 regions/page,
+    trivial group work; the shuffle key is the page — scales)."""
+    out_schema = tiled.drop("tile_idx", "merge_dir").schema
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["tile_idx", "position"], kind="mergesort")
+        kept: list[dict] = []
+        for rec in pdf.to_dict("records"):
+            merged = False
+            if rec["tile_idx"] > 0:
+                along_h = rec["merge_dir"] == "height"
+                for box1 in kept:
+                    w1, h1 = box1["x2"] - box1["x1"], box1["y2"] - box1["y1"]
+                    w2, h2 = rec["x2"] - rec["x1"], rec["y2"] - rec["y1"]
+                    if along_h:
+                        m = int(min(h1, h2) * merge_margin)
+                        ov = (min(box1["y2"] + m, rec["y2"] + m)
+                              - max(box1["y1"] - m, rec["y1"] - m))
+                        inter = max(0.0, ov) * max(
+                            0.0, min(box1["x2"], rec["x2"])
+                            - max(box1["x1"], rec["x1"]))
+                        cross = max(0.0, min(box1["x2"], rec["x2"])
+                                    - max(box1["x1"], rec["x1"]))
+                        half = cross > w1 // 2 or cross > w2 // 2
+                    else:
+                        m = int(min(w1, w2) * merge_margin)
+                        ov = (min(box1["x2"] + m, rec["x2"] + m)
+                              - max(box1["x1"] - m, rec["x1"] - m))
+                        inter = max(0.0, ov) * max(
+                            0.0, min(box1["y2"], rec["y2"])
+                            - max(box1["y1"], rec["y1"]))
+                        cross = max(0.0, min(box1["y2"], rec["y2"])
+                                    - max(box1["y1"], rec["y1"]))
+                        half = cross > h1 // 2 or cross > h2 // 2
+                    a1, a2 = w1 * h1, w2 * h2
+                    pct = max(inter / a1 if a1 > 0 else 0.0,
+                              inter / a2 if a2 > 0 else 0.0)
+                    pics = {"Picture", "Figure"}
+                    lbl = (box1["label"] == rec["label"]
+                           or (box1["label"] in pics and rec["label"] in pics))
+                    if pct > merge_tolerance and half and lbl:
+                        box1["x1"] = min(box1["x1"], rec["x1"])
+                        box1["y1"] = min(box1["y1"], rec["y1"])
+                        box1["x2"] = max(box1["x2"], rec["x2"])
+                        box1["y2"] = max(box1["y2"], rec["y2"])
+                        merged = True
+                        break
+            if not merged:
+                kept.append(rec)
+        for rec in kept:
+            rec.pop("tile_idx", None)
+            rec.pop("merge_dir", None)
+        return pd.DataFrame(kept, columns=[f.name for f in out_schema])
+
+    return tiled.groupBy("media_ref").applyInPandas(merge_group, out_schema)
+
+
 def layout_stage(pages: DataFrame,
                  slot: Callable = slots.surrogate_layout) -> DataFrame:
     return position_regions(relabel_headers_footers(layout_regions(pages, slot)))
+
+
+def layout_stage_tiled(pages: DataFrame,
+                       slot: Callable = slots.surrogate_layout,
+                       slice_min: int = 1500) -> DataFrame:
+    """layout_stage with the big-page tile pre-split: split → per-tile slot
+    → global positions (stitch_positions) → cross-tile merge → relabel."""
+    tiled = split_layout_regions(pages, slot, slice_min=slice_min)
+    positioned = stitch_positions(tiled)
+    merged = merge_tile_regions(positioned)
+    return relabel_headers_footers(merged)

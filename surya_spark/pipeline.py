@@ -96,7 +96,10 @@ def extract(
 
     cells = None
     if with_tables:
-        regions = layout.layout_stage(pages, layout_slot)
+        # tiled variant: >1500 px pages run the layout slot per ≤4 tiles
+        # (bounded activations), stitched+merged back relationally; small
+        # pages pass through as one tile at zero extra cost
+        regions = layout.layout_stage_tiled(pages, layout_slot)
         cells = tables.table_stage(regions, pages, ocr_lines, table_slot)
 
     return assemble.assemble_spans(documents, ocr_lines, cells)
@@ -144,7 +147,7 @@ def checkpointed_extract(
     cells = runner.stage(
         "cells",
         lambda: tables.table_stage(
-            layout.layout_stage(pages), pages, ocr_lines
+            layout.layout_stage_tiled(pages), pages, ocr_lines
         ),
         bucket_key="media_ref", max_groups=max_groups,
     )

@@ -80,3 +80,59 @@ def test_order_lines_with_separators(spark):
     out = reading_order.order_lines_with_separators(lines, seps)
     order = [r["line_idx"] for r in out.orderBy("position").collect()]
     assert order == [2, 1, 3, 0]  # col0 top→bottom, then col1, then col2
+
+
+def test_layout_tile_presplit_matches_whole_page(spark):
+    """Tall (>1500px) pages are exploded into ≤4 tiles, the layout slot runs
+    per tile, and stitch+merge must reproduce the whole-page regions exactly
+    (ref surya/layout/slicer.py:19-140). Also checks the width-sliced and
+    pass-through (small page) paths."""
+    from surya_spark import datagen
+    from surya_spark.operators import layout
+
+    def page(ref, w, h, regions):
+        desc = {"w": w, "h": h, "lines": [], "table": None,
+                "regions": regions}
+        return (ref, w, h, datagen.encode_page(desc))
+
+    pages = spark.createDataFrame(
+        [
+            page("blob://t/tall", 1024, 4096, [
+                {"label": "SectionHeader", "bbox": [60, 28, 600, 60],
+                 "order": 0},
+                {"label": "Text", "bbox": [60, 100, 964, 3900], "order": 1},
+                {"label": "Picture", "bbox": [100, 3950, 900, 4090],
+                 "order": 2},
+            ]),
+            page("blob://t/wide", 4096, 1024, [
+                {"label": "Table", "bbox": [100, 100, 3900, 900],
+                 "order": 0},
+            ]),
+            page("blob://t/small", 1024, 1024, [
+                {"label": "SectionHeader", "bbox": [60, 28, 600, 60],
+                 "order": 0},
+                {"label": "Text", "bbox": [60, 100, 964, 900], "order": 1},
+            ]),
+        ],
+        "media_ref string, width int, height int, img_bytes binary",
+    )
+
+    def key(df):
+        return {
+            (r["media_ref"], r["label"], r["x1"], r["y1"], r["x2"], r["y2"])
+            for r in df.collect()
+        }
+
+    whole = key(layout.layout_stage(pages))
+    tiled_df = layout.layout_stage_tiled(pages)
+    tiled = key(tiled_df)
+    assert tiled == whole
+
+    # the tall page really was split (>1 tile before the merge)
+    pre = layout.split_layout_regions(pages)
+    n_tiles = (pre.filter("media_ref = 'blob://t/tall'")
+               .select("tile_idx").distinct().count())
+    assert n_tiles >= 3
+    # and the small page passed through as a single tile
+    assert (pre.filter("media_ref = 'blob://t/small'")
+            .select("tile_idx").distinct().count()) == 1
