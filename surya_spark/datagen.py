@@ -222,9 +222,33 @@ def gen_documents(spark: SparkSession, n_docs: int,
     )
 
 
+def scale_descriptor(desc: dict, s: float) -> dict:
+    """Scale every coordinate of a page descriptor by s — the highres
+    render of the same page (the reference renders 96 DPI for detection
+    and 192 DPI for recognition crops; settings.py:15-16,
+    scripts/config.py:36-42). Texts are unchanged."""
+    out = dict(desc)
+    out["w"] = int(desc["w"] * s)
+    out["h"] = int(desc["h"] * s)
+    out["lines"] = [
+        {**ln, "bbox": [v * s for v in ln["bbox"]]} for ln in desc["lines"]
+    ]
+    out["regions"] = [
+        {**r, "bbox": [v * s for v in r["bbox"]]}
+        for r in desc.get("regions", [])
+    ]
+    if desc.get("table"):
+        t = desc["table"]
+        out["table"] = {**t, "x": t["x"] * s, "y": t["y"] * s,
+                        "cell_w": t["cell_w"] * s, "cell_h": t["cell_h"] * s}
+    return out
+
+
 def gen_page_blobs(spark: SparkSession, n_docs: int,
-                   partitions: int | None = None) -> DataFrame:
-    """page_blobs(media_ref, width, height, img_bytes) for every media span."""
+                   partitions: int | None = None,
+                   scale: float = 1.0) -> DataFrame:
+    """page_blobs(media_ref, width, height, img_bytes) for every media span.
+    scale=2.0 emits the 192-DPI-analog highres render of the same pages."""
     parts = partitions or max(8, min(256, n_docs // 256 or 1))
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -237,6 +261,8 @@ def gen_page_blobs(spark: SparkSession, n_docs: int,
                     if s["media_ref"] is None:
                         continue
                     desc = make_page_descriptor(doc_idx, s["offset"], s["kind"])
+                    if scale != 1.0:
+                        desc = scale_descriptor(desc, scale)
                     rows.append({
                         "media_ref": s["media_ref"],
                         "width": desc["w"], "height": desc["h"],

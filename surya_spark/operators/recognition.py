@@ -38,33 +38,70 @@ _CROPS = T.StructType([
     T.StructField("x2", T.DoubleType(), False),
     T.StructField("y2", T.DoubleType(), False),
     T.StructField("crop_bytes", T.BinaryType(), False),
+    T.StructField("res_x", T.DoubleType(), False),
+    T.StructField("res_y", T.DoubleType(), False),
 ])
 
 
-def slice_crops(lines: DataFrame, pages: DataFrame) -> DataFrame:
+def slice_crops(lines: DataFrame, pages: DataFrame,
+                highres_pages: DataFrame | None = None) -> DataFrame:
     """lines(media_ref, line_idx, position, bbox) ⋈ page blobs → crop blobs.
 
     The aggregate-then-join keeps the shuffle payload to bbox lists; page
     bytes stay where the page row lives.
-    """
+
+    With highres_pages (a second blob table of the SAME pages at higher
+    resolution — the reference's 192-DPI render), crops are taken from the
+    highres blob: detection bboxes (lowres space) are scaled by
+    int(v * highres/lowres) exactly like the reference
+    (/root/reference/surya/recognition/__init__.py:158-170), and each crop
+    carries its (res_x, res_y) so recognize() can rescale model char boxes
+    back into lowres page coordinates. Output bbox columns stay in lowres
+    space either way. Only the small (width, height) columns of the lowres
+    table join in — lowres page bytes are never read on this path
+    (column pruning keeps them out of the scan)."""
     boxes = lines.groupBy("media_ref").agg(
         F.collect_list(
             F.struct("line_idx", "position", "x1", "y1", "x2", "y2")
         ).alias("boxes")
     )
-    joined = pages.join(boxes, "media_ref", "inner").select(
-        "media_ref", "img_bytes", "boxes"
-    )
+    if highres_pages is None:
+        joined = pages.join(boxes, "media_ref", "inner").select(
+            "media_ref", "img_bytes", "boxes",
+            F.lit(1.0).alias("_ws"), F.lit(1.0).alias("_hs"),
+        )
+    else:
+        lodims = pages.select(
+            "media_ref",
+            F.col("width").alias("_lw"), F.col("height").alias("_lh"))
+        joined = (
+            highres_pages.join(boxes, "media_ref", "inner")
+            .join(lodims, "media_ref")
+            .select(
+                "media_ref", "img_bytes", "boxes",
+                (F.col("width").cast("double") / F.col("_lw")).alias("_ws"),
+                (F.col("height").cast("double") / F.col("_lh")).alias("_hs"),
+            )
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for ref, blob, boxes in zip(
-                pdf["media_ref"], pdf["img_bytes"], pdf["boxes"]
+            for ref, blob, boxes, ws, hs in zip(
+                pdf["media_ref"], pdf["img_bytes"], pdf["boxes"],
+                pdf["_ws"], pdf["_hs"],
             ):
                 desc = decode_page(bytes(blob))
+                ws, hs = float(ws), float(hs)
                 for b in boxes:
-                    bbox = [b["x1"], b["y1"], b["x2"], b["y2"]]
+                    if ws == 1.0 and hs == 1.0:
+                        bbox = [b["x1"], b["y1"], b["x2"], b["y2"]]
+                    else:
+                        # int() truncation is the reference contract
+                        bbox = [float(int(b["x1"] * ws)),
+                                float(int(b["y1"] * hs)),
+                                float(int(b["x2"] * ws)),
+                                float(int(b["y2"] * hs))]
                     rows.append({
                         "media_ref": ref,
                         "line_idx": int(b["line_idx"]),
@@ -72,6 +109,7 @@ def slice_crops(lines: DataFrame, pages: DataFrame) -> DataFrame:
                         "x1": b["x1"], "y1": b["y1"],
                         "x2": b["x2"], "y2": b["y2"],
                         "crop_bytes": slots.encode_crop(desc, bbox),
+                        "res_x": ws, "res_y": hs,
                     })
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {f.name: pd.Series([], dtype=object) for f in _CROPS})
@@ -114,25 +152,32 @@ def recognize(crops: DataFrame,
     sorted_crops = crops.sortWithinPartitions((F.col("x2") - F.col("x1")).desc())
     has_task_col = "task" in crops.columns
 
+    has_res = "res_x" in crops.columns
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            tasks = pdf["task"] if has_task_col else [task] * len(pdf)
-            for ref, li, pos, x1, y1, x2, y2, blob, tk in zip(
+            n = len(pdf)
+            tasks = pdf["task"] if has_task_col else [task] * n
+            rxs = pdf["res_x"] if has_res else [1.0] * n
+            rys = pdf["res_y"] if has_res else [1.0] * n
+            for ref, li, pos, x1, y1, x2, y2, blob, tk, rx, ry in zip(
                 pdf["media_ref"], pdf["line_idx"], pdf["position"],
                 pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"],
-                pdf["crop_bytes"], tasks,
+                pdf["crop_bytes"], tasks, rxs, rys,
             ):
                 r = slot(bytes(blob), tk)
-                # shift chars from crop space back into page coords and clamp
-                # to the line bbox (/root/reference/surya/recognition/__init__.py:906-914)
+                rx, ry = float(rx), float(ry)
+                # rescale chars from (possibly highres) crop space by
+                # res_scales, shift into page coords, clamp to the line bbox
+                # (/root/reference/surya/recognition/__init__.py:906-914)
                 chars = [
                     {
                         "text": c["text"],
-                        "x1": min(max(c["x1"] + x1, x1), x2),
-                        "y1": min(max(c["y1"] + y1, y1), y2),
-                        "x2": min(max(c["x2"] + x1, x1), x2),
-                        "y2": min(max(c["y2"] + y1, y1), y2),
+                        "x1": min(max(c["x1"] / rx + x1, x1), x2),
+                        "y1": min(max(c["y1"] / ry + y1, y1), y2),
+                        "x2": min(max(c["x2"] / rx + x1, x1), x2),
+                        "y2": min(max(c["y2"] / ry + y1, y1), y2),
                         "confidence": c["confidence"],
                         "bbox_valid": bool(c["bbox_valid"]),
                     }

@@ -61,6 +61,7 @@ def extract(
     pack_partitions: int | None = None,
     persist: bool = True,
     emit_chars: bool = False,
+    highres_blobs: DataFrame | None = None,
 ) -> DataFrame:
     """persist=True pins the two fan-out points of the DAG:
 
@@ -81,10 +82,16 @@ def extract(
     lines = detection.detection_stage(pages, detect_slot)
     ordered = reading_order.order_lines(lines)
 
+    # highres path: detection/layout read the lowres blob; recognition
+    # crops come from the 2x render with polygons rescaled (ref
+    # recognition/__init__.py:158-170, scripts/config.py:36-42)
+    hp = (pages_for(documents, highres_blobs)
+          if highres_blobs is not None else None)
     crops = recognition.slice_crops(
         ordered.select("media_ref", "line_idx", "position",
                        "x1", "y1", "x2", "y2"),
         pages,
+        highres_pages=hp,
     )
     # chars pruned inside the UDF unless requested: span assembly never
     # reads them and they are the pipeline's single largest Python/Arrow

@@ -58,3 +58,47 @@ def test_unwrap_math_expr(spark):
     assert out[0] == "a + b"            # no latex symbols → unwrapped
     assert out[1].startswith("<math>")  # latex body → kept wrapped
     assert out[2] == "plain"
+
+
+def test_highres_double_resolution_path(spark):
+    """Recognition crops come from the 2x render (ref
+    recognition/__init__.py:158-170): slice_crops scales detection bboxes
+    by int(v*2) into the highres blob and tags crops with res_scales, and
+    the full pipeline output still satisfies exact span parity."""
+    n = 16
+    docs = datagen.gen_documents(spark, n, partitions=2)
+    blobs = datagen.gen_page_blobs(spark, n, partitions=2)
+    hi = datagen.gen_page_blobs(spark, n, partitions=2, scale=2.0)
+
+    # 1) crops provably taken from the 2x blob
+    pages = pipeline.pages_for(docs, blobs)
+    hp = pipeline.pages_for(docs, hi)
+    rows = pages.limit(2).collect()
+    truth = []
+    for r in rows:
+        desc = datagen.decode_page(bytes(r["img_bytes"]))
+        for i, ln in enumerate(desc["lines"][:3]):
+            truth.append((r["media_ref"], i, i + 1,
+                          *[float(v) for v in ln["bbox"]]))
+    if truth:
+        boxes = spark.createDataFrame(
+            truth, "media_ref string, line_idx int, position int, "
+                   "x1 double, y1 double, x2 double, y2 double")
+        crops = recognition.slice_crops(boxes, pages, highres_pages=hp)
+        from surya_spark.operators.slots import decode_crop
+        for c in crops.collect():
+            assert c["res_x"] == 2.0 and c["res_y"] == 2.0
+            crop = decode_crop(bytes(c["crop_bytes"]))
+            cw = crop["crop"][2] - crop["crop"][0]
+            # int-truncated 2x scaling: crop width within 2px of 2*bbox
+            assert abs(cw - 2.0 * (c["x2"] - c["x1"])) <= 2.0
+
+    # 2) end-to-end span parity with highres=True
+    out = pipeline.extract(docs, blobs, with_tables=True, highres_blobs=hi)
+    for r in out.collect():
+        idx = int(r["doc_id"].split("-")[1])
+        expected = datagen.expected_out_spans(idx)
+        got = [{"kind": s["kind"], "text": s["text"],
+                "media_ref": s["media_ref"], "offset": int(s["offset"])}
+               for s in r["spans"]]
+        assert got == expected, r["doc_id"]
