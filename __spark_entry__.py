@@ -430,11 +430,13 @@ def q_knn_bruteforce(spark, sf_dir):
 
 
 def q_knn_ivf(spark, sf_dir):
+    # nprobe=2: queries visit their two nearest centroids (recall lever);
+    # vectors are indexed under their primary cluster only
     e = _t(spark, sf_dir, "embeddings")
     c = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    return similarity.knn_ivf(e, c, k=3, dim=64)
+    return similarity.knn_ivf(e, c, k=3, dim=64, nprobe=2)
 
 
 def q_cosine_near_dup(spark, sf_dir):
@@ -1278,14 +1280,14 @@ def oracle_sql() -> dict[str, str]:
             sc AS (SELECT v.vec_id, v.ev, c.centroid_id,
                           round(list_cosine_similarity(ev, cv), 6) AS cc
                    FROM v CROSS JOIN c),
-            asg AS (SELECT vec_id, ev, centroid_id AS cluster FROM (
+            asg AS (SELECT vec_id, ev, centroid_id AS cluster, rn FROM (
                       SELECT *, row_number() OVER (
                         PARTITION BY vec_id
                         ORDER BY cc DESC, centroid_id) AS rn
-                      FROM sc) WHERE rn = 1),
+                      FROM sc) WHERE rn <= 2),
             p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                          round(list_cosine_similarity(a.ev, b.ev), 6) AS cosine
-                  FROM asg a JOIN asg b
+                  FROM asg a JOIN (SELECT * FROM asg WHERE rn = 1) b
                     ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
             r AS (SELECT *, CAST(row_number() OVER (
                     PARTITION BY query_id

@@ -97,9 +97,13 @@ def knn_bruteforce(vectors: DataFrame, queries: DataFrame, k: int = 5,
 def assign_clusters(vectors: DataFrame, centroids: DataFrame,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     cent_id: str = "centroid_id",
-                    dim: int | None = None) -> DataFrame:
-    """IVF coarse quantization: nearest centroid per vector (centroids
-    broadcast; argmin via window over the small per-vector candidate set)."""
+                    dim: int | None = None,
+                    nprobe: int = 1) -> DataFrame:
+    """IVF coarse quantization: the nprobe nearest centroids per vector
+    (centroids broadcast; ranking via window over the small per-vector
+    candidate set). Output carries (cluster, probe_rank, c_cos) — rank 1
+    is the primary assignment used to index a vector; ranks 2..nprobe are
+    the extra probes a *query* visits (standard IVF nprobe recall lever)."""
     c = with_norm(
         centroids.select(F.col(cent_id), F.col(vec_col).alias("c_vec")),
         "c_vec", "c_n", dim)
@@ -115,31 +119,51 @@ def assign_clusters(vectors: DataFrame, centroids: DataFrame,
         F.col("c_cos").desc(), F.col(cent_id)
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, F.col(cent_id).alias("cluster"))
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select(id_col, vec_col, F.col(cent_id).alias("cluster"),
+                "probe_rank", "c_cos")
     )
 
 
 def knn_ivf(vectors: DataFrame, centroids: DataFrame, k: int = 3,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            dim: int | None = None) -> DataFrame:
-    """Approximate within-cluster top-k neighbors for every vector: assign
-    clusters, then self-join equi on cluster. The pairwise work is bounded
-    per bucket — the LSH/IVF analogue for embeddings."""
-    # both sides of the pair join derive from the assignment; without an
-    # explicit persist Spark re-executes the whole assign stage per side
-    # (different projections → no exchange reuse) — measured 2× cost
-    assigned = assign_clusters(vectors, centroids, id_col, vec_col,
-                               dim=dim).persist()
-    withn = with_norm(assigned, vec_col, "_n", dim)
-    a = withn.select(
+            dim: int | None = None, nprobe: int = 1,
+            cluster_cap: int | None = None) -> DataFrame:
+    """Approximate top-k neighbors for every vector: assign clusters, then
+    join queries' probed clusters against the primary-cluster index. The
+    pairwise work is bounded per bucket — the LSH/IVF analogue for
+    embeddings.
+
+    nprobe > 1 is the recall lever: queries visit their nprobe nearest
+    centroids while every vector is indexed only under its primary cluster
+    (no index duplication). cluster_cap is the hot-cluster skew guard: an
+    unbalanced quantizer can put m vectors in one cluster and make the
+    self-join m² on that key; with a cap, each cluster's INDEX side keeps
+    only the cap vectors closest to the centroid (documented recall trade;
+    per-cluster pair work becomes |queries∩cluster| × cap)."""
+    # one scored pass serves both sides (index = probe_rank 1, queries =
+    # all probes); without persist Spark re-executes the assignment per
+    # branch (different projections → no exchange reuse) — measured 2×
+    probes = assign_clusters(vectors, centroids, id_col, vec_col,
+                             dim=dim, nprobe=nprobe).persist()
+    index = probes.filter(F.col("probe_rank") == 1)
+    if cluster_cap is not None:
+        w_cap = Window.partitionBy("cluster").orderBy(
+            F.col("c_cos").desc(), F.col(id_col))
+        index = (
+            index.withColumn("_cr", F.row_number().over(w_cap))
+            .filter(F.col("_cr") <= cluster_cap).drop("_cr")
+        )
+    withn_q = with_norm(probes, vec_col, "_n", dim)
+    withn_i = with_norm(index, vec_col, "_n", dim)
+    a = withn_q.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.col("_n").alias("q_n"),
         "cluster",
     )
-    b = withn.select(
+    b = withn_i.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("v_vec"),
         F.col("_n").alias("v_n"),

@@ -181,3 +181,33 @@ def test_train_centroids_and_ivf(spark):
     # every vector's neighbors come from one cluster; ranks are 1..k
     ranks = {r["rank"] for r in out.limit(50).collect()}
     assert ranks <= {1, 2}
+
+
+def test_knn_ivf_nprobe_and_cap(spark):
+    """nprobe=2 must not lose recall vs nprobe=1 (recall@k vs brute force),
+    and cluster_cap bounds each cluster's index side."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.train_centroids(emb, k=6, max_iter=5)
+
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.knn_bruteforce(emb, q, k=4, dim=64).collect()
+             if r["query_id"] != r["neighbor_id"]}
+
+    def recall(nprobe):
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in similarity.knn_ivf(
+                   emb, cents, k=3, dim=64, nprobe=nprobe).collect()}
+        return len(got & exact) / max(1, len(exact))
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1            # probing more clusters never hurts recall
+    assert r2 >= 0.5           # floor gate on the fixture embeddings
+
+    capped = similarity.knn_ivf(emb, cents, k=3, dim=64, nprobe=1,
+                                cluster_cap=10)
+    # every query's neighbors come from a <=10-vector index per cluster
+    n_per = (capped.groupBy("query_id").count().agg(
+        F.max("count")).collect()[0][0])
+    assert n_per <= 3  # still top-k
+    assert capped.count() > 0
