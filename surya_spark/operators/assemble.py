@@ -69,26 +69,40 @@ def assemble_spans(documents: DataFrame, ocr_lines: DataFrame,
 
     media = media_spans(span_rows).select("doc_id", "offset", "media_ref")
 
+    # packing invariant: line sub_orders live in [0, 1e6), cell sub_orders
+    # in [1e6, ...) with 1000 columns per row — guarded at runtime because
+    # silent violation would mis-order spans, not fail
+    line_order = F.when(
+        F.col("position") < 1_000_000, F.col("position").cast("long")
+    ).otherwise(F.raise_error(
+        "assemble_spans: line position >= 1e6 breaks span packing"
+    ).cast("long"))
     lines = (
         free_lines(ocr_lines, cells)
         .select("media_ref", "position", "text")
         .join(media, "media_ref")
         .select(
             "doc_id", "offset",
-            F.col("position").cast("long").alias("sub_order"),
+            line_order.alias("sub_order"),
             F.lit("text").alias("kind"), "text", "media_ref",
         )
     )
 
     parts = [passthrough, lines]
     if cells is not None:
+        cell_order = F.when(
+            (F.col("col_id") < 1000) & (F.col("row_id") < 1_000_000_000),
+            (F.lit(1_000_000) + F.col("row_id") * 1000 + F.col("col_id"))
+            .cast("long"),
+        ).otherwise(F.raise_error(
+            "assemble_spans: table exceeds 1000 cols / 1e9 rows packing bound"
+        ).cast("long"))
         cell_items = (
             cells.select("media_ref", "row_id", "col_id", "text")
             .join(media, "media_ref")
             .select(
                 "doc_id", "offset",
-                (F.lit(1_000_000) + F.col("row_id") * 1000 + F.col("col_id"))
-                .cast("long").alias("sub_order"),
+                cell_order.alias("sub_order"),
                 F.lit("cell").alias("kind"), "text", "media_ref",
             )
         )

@@ -233,7 +233,14 @@ def recognize_blocks(pages: DataFrame,
 def line_confidence(ocr_lines: DataFrame) -> DataFrame:
     """Line confidence = mean of char confidences
     (/root/reference/surya/recognition/__init__.py:901-905) as an array
-    aggregate — no shuffle, no Python."""
+    aggregate — no shuffle, no Python.
+
+    Deliberate exception to the no-HOF rule (CLAUDE.md #1): char arrays
+    are short (≤ ~100 per line) and per-LINE, so the interpreted fold
+    costs O(chars) once per row; the codegen alternative
+    (posexplode → groupBy avg → join back) adds a full shuffle + join,
+    which loses below ~10⁴ chars/line. The rule targets per-PAIR hot
+    paths (dot products, pairwise geometry) where the fold runs n² times."""
     n = F.size("chars")
     s = F.aggregate(
         "chars", F.lit(0.0), lambda acc, c: acc + c["confidence"]

@@ -149,3 +149,44 @@ def test_json_sink_roundtrip(spark, tmp_path):
     one = lines[0]
     assert {"doc_id", "n_spans", "n_media", "spans"} <= set(one)
     assert one["n_spans"] == len(one["spans"])
+
+
+def test_pdf_text_lines_source(spark):
+    """PDF ground-truth source: extractor slot -> rescaled line table
+    (int-truncated, ref surya/common/util.py:39-51) and the vertical
+    join_lines merge (ref benchmark/utils/bbox.py:28-53)."""
+    from surya_spark import datagen
+    from surya_spark.sources import pdf_lines as P
+    from pyspark.sql import functions as F
+
+    blobs = datagen.gen_page_blobs(spark, 8, partitions=2)
+    out = P.pdf_text_lines(blobs)
+    got = out.collect()
+    if got:
+        # fake extractor halves coordinates; rescale must restore them
+        one = blobs.limit(1).collect()[0]
+        desc = datagen.decode_page(bytes(one["img_bytes"]))
+        mine = sorted(
+            [(r["x1"], r["y1"], r["x2"], r["y2"]) for r in got
+             if r["media_ref"] == one["media_ref"]])
+        truth = sorted(
+            [tuple(float(int(v)) for v in ln["bbox"]) for ln in desc["lines"]])
+        assert mine == truth
+
+    # join_lines: contained line 5px below merges into the wider one
+    lines = spark.createDataFrame(
+        [("m", 0, 0, 10.0, 50.0, 200.0, 80.0),   # wide line
+         ("m", 0, 1, 20.0, 20.0, 180.0, 47.0),   # above, gap |50-47|<=5 -> merge
+         ("m", 0, 2, 300.0, 300.0, 400.0, 320.0)],  # unrelated
+        "media_ref string, page_idx int, line_idx int, "
+        "x1 double, y1 double, x2 double, y2 double",
+    )
+    merged = P.join_adjacent_lines(lines).collect()
+    boxes = {(r["x1"], r["y1"], r["x2"], r["y2"]) for r in merged}
+    assert (10.0, 20.0, 200.0, 80.0) in boxes
+    assert len(merged) == 2
+
+    # deployment slot is a documented stub
+    import pytest
+    with pytest.raises(NotImplementedError):
+        P.pymupdf_extract(b"%PDF-")
