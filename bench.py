@@ -41,6 +41,8 @@ HEADLINE = [
     "ocr_error_vote",
     "json_extract",
     "windowed_events",
+    "bbox6_roundtrip",
+    "edit_distance",
 ]
 
 

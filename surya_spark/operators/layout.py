@@ -151,6 +151,19 @@ def split_layout_regions(pages: DataFrame,
                 else:
                     step = dim  # single tile
                 n_tiles = max(1, math.ceil(dim / step))
+                if n_tiles == 1:
+                    # fast path: no re-encode — the slot sees the original
+                    # blob, so small pages cost exactly what layout_regions
+                    # costs (zlib re-compression per tile is the splitter's
+                    # only per-page overhead)
+                    for d in slot(ref, w, h, bytes(blob)):
+                        rows.append({
+                            "media_ref": ref, **d,
+                            "page_width": w, "page_height": h,
+                            "tile_idx": 0,
+                            "merge_dir": "height" if along_h else "width",
+                        })
+                    continue
                 for ti in range(n_tiles):
                     o = ti * step
                     t_end = min(o + step, dim)
@@ -262,9 +275,17 @@ def layout_stage(pages: DataFrame,
 def layout_stage_tiled(pages: DataFrame,
                        slot: Callable = slots.surrogate_layout,
                        slice_min: int = 1500) -> DataFrame:
-    """layout_stage with the big-page tile pre-split: split → per-tile slot
-    → global positions (stitch_positions) → cross-tile merge → relabel."""
-    tiled = split_layout_regions(pages, slot, slice_min=slice_min)
-    positioned = stitch_positions(tiled)
-    merged = merge_tile_regions(positioned)
-    return relabel_headers_footers(merged)
+    """layout_stage with the big-page tile pre-split: oversize pages go
+    split → per-tile slot → global positions (stitch_positions) →
+    cross-tile merge; pages within the threshold take the plain
+    layout_regions path — no stitch join, no merge applyInPandas, zero
+    extra shuffles for the ~95% of pages that don't need tiling. The two
+    branches union before the header/footer relabel."""
+    ok = (F.col("width") <= slice_min) & (F.col("height") <= slice_min)
+    small = position_regions(layout_regions(pages.filter(ok), slot))
+    tiled = split_layout_regions(pages.filter(~ok), slot,
+                                 slice_min=slice_min)
+    merged = merge_tile_regions(stitch_positions(tiled))
+    cols = small.columns
+    return relabel_headers_footers(
+        small.unionByName(merged.select(*cols)))

@@ -212,14 +212,22 @@ def _jaccard_over_candidates(cand: DataFrame, rows: DataFrame) -> DataFrame:
     co-occurrences per pair with two equi-joins. No collect_list — a
     10⁵-shingle document contributes 10⁵ small rows to a hash shuffle
     instead of a 10⁵-element array on every candidate pair row."""
-    n = rows.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("double").alias("n"))
+    # cand feeds THREE consumers (both docs_c branches + the inter join)
+    # and r feeds FOUR (ra, rb, and n joined twice) — without persist
+    # Spark re-executes the banding join per branch: measured 38 s vs ~1 s
+    # on a 50-doc warmup (lineage re-execution, CLAUDE.md rule #2)
+    cand = cand.persist()
     docs_c = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    r = rows.select("doc_id", "s").join(docs_c, "doc_id", "left_semi")
+    r = rows.select("doc_id", "s").join(
+        docs_c, "doc_id", "left_semi").persist()
+    # set sizes only for candidate docs — counting over the full corpus
+    # would shuffle every document's shingles for nothing
+    n = r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"))
     inter = (
         cand
         .join(r.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")

@@ -66,3 +66,27 @@ def test_clean_boxes_anti_join_shape(spark):
     plan = _plan(detection.clean_contained_boxes(
         detection.detect_lines(pages)))
     assert "LeftAnti" in plan  # containment filter is a real anti-join
+
+
+def test_minhash_verify_no_array_shuffle(spark):
+    """Verification must count co-occurrences on flat rows — the round-1
+    collect_list formulation shipped full shingle arrays on every
+    candidate pair (10^5-element arrays per pair on long docs)."""
+    from surya_spark.training import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dedup.minhash_lsh_pairs(docs, threshold=0.3))
+    assert "collect_list" not in plan
+    assert "array_intersect" not in plan and "array_union" not in plan
+
+
+def test_simhash_blocking_join_is_equi(spark):
+    """Candidate generation must stay an equi hash/sort-merge join on
+    (segment idx, segment value) — never a nested-loop cross join."""
+    from surya_spark.training import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sim = dedup.simhash(docs)
+    plan = _plan(dedup.simhash_pairs(sim, max_dist=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
