@@ -267,6 +267,26 @@ def intersect_poly(pa: Column, pb: Column) -> Column:
     )
 
 
+def poly_area_shoelace(poly: Column) -> Column:
+    """Corner-accurate quad area via the shoelace formula — the exact area
+    of a skewed quad, where the bbox form over-counts by the skew margin.
+    Documented engine decision: overlap/containment PREDICATES stay in
+    bbox space (codegen theta joins); when corner-accurate area matters
+    (skewed minAreaRect quads, ref surya/detection/heatmap.py:43-103),
+    use this + intersect_poly."""
+    def x(i):
+        return poly[i][0].cast("double")
+
+    def y(i):
+        return poly[i][1].cast("double")
+
+    s = (x(0) * y(1) - x(1) * y(0)
+         + x(1) * y(2) - x(2) * y(1)
+         + x(2) * y(3) - x(3) * y(2)
+         + x(3) * y(0) - x(0) * y(3))
+    return F.abs(s) / 2.0
+
+
 def intersect_bbox(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2) -> list[Column]:
     """Axis-aligned intersection (cornerwise max/min) — used for the table
     cell = row ∩ col grid. Ref: surya/common/polygon.py:115-140."""

@@ -180,3 +180,20 @@ def test_poly_merge_left_right_and_quad_intersection(spark):
     row = df.select(G.intersect_poly(pa, pb).alias("p")).collect()[0]
     got = [[float(v) for v in c] for c in row["p"]]
     assert got == [[5.0, 2.0], [10.0, 3.0], [11.0, 9.0], [6.0, 8.0]]
+
+
+def test_poly_area_shoelace(spark):
+    df = spark.range(1)
+    # axis-aligned 10x5 rectangle
+    rect = G.bbox_to_poly(F.lit(0.0), F.lit(0.0), F.lit(10.0), F.lit(5.0))
+    # skewed parallelogram: base 10, height 5, skew 3 -> area still 50
+    sk = F.array(F.array(F.lit(0.0), F.lit(0.0)),
+                 F.array(F.lit(10.0), F.lit(0.0)),
+                 F.array(F.lit(13.0), F.lit(5.0)),
+                 F.array(F.lit(3.0), F.lit(5.0)))
+    row = df.select(
+        G.poly_area_shoelace(rect).alias("a"),
+        G.poly_area_shoelace(sk).alias("b"),
+    ).collect()[0]
+    assert row["a"] == 50.0
+    assert row["b"] == 50.0  # bbox area would be 13*5 = 65 — over-counted
