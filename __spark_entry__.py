@@ -473,9 +473,14 @@ def q_edit_distance(spark, sf_dir):
     from surya_spark.functions import metrics as M
 
     # first 600 chars: Levenshtein is O(n*m) per row — multi-KB documents
-    # cost 100x for no additional signal (the oracle truncates identically)
-    d = _t(spark, sf_dir, "documents").withColumn(
-        "t6", F.substring("text", 1, 600))
+    # cost 100x for no additional signal (the oracle truncates identically).
+    # documents.parquet is a single file → single scan partition; without
+    # the explicit repartition the whole DP matrix runs on ONE core
+    d = (
+        _t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .withColumn("t6", F.substring("text", 1, 600))
+    )
     pred = F.concat(F.lit("<b>"), F.regexp_replace("t6", "e", "3"),
                     F.lit("</b>"))
     nd = M.normalized_edit_distance(
