@@ -492,6 +492,28 @@ def q_edit_distance(spark, sf_dir):
     )
 
 
+def q_html_main(spark, sf_dir):
+    """Main-content extraction (north-rule: HTML boilerplate strip via DOM
+    heuristics): deterministic HTML wraps each document's text in nav +
+    content paragraphs + footer; the density heuristic must keep the
+    content blocks and drop the link-heavy chrome. The oracle replicates
+    block split, link density, and re-assembly in SQL."""
+    from surya_spark.operators import html_main
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body><nav><a href='#'>Home</a> <a href='#'>About</a>"
+              " <a href='#'>Blog</a></nav><div><p>"),
+        F.substring("text", 1, 80),
+        F.lit("</p><p>"),
+        F.substring("text", 81, 80),
+        F.lit("</p></div><footer><a href='#'>Contact</a>"
+              " <a href='#'>Terms</a></footer></body></html>"),
+    )
+    return html_main.strip_boilerplate(
+        d.select("doc_id", html.alias("html")))
+
+
 def q_salted_doc_stats(spark, sf_dir):
     # salted two-phase aggregation (skew machinery) must equal the plain
     # GROUP BY — the oracle is the unsalted form
@@ -763,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_accuracy": q_rank_accuracy,
         "salted_doc_stats": q_salted_doc_stats,
         "edit_distance": q_edit_distance,
+        "html_main": q_html_main,
         "priority_cube": q_priority_cube,
         "windowed_events": q_windowed_events,
         "json_extract": q_json_extract,
@@ -1336,6 +1359,61 @@ def oracle_sql() -> dict[str, str]:
                      AS pair_accuracy
             FROM pred a JOIN pred b ON a.key = b.key AND a.i < b.i
             GROUP BY a.key
+        """,
+        "html_main": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     '<html><body><nav><a href=''#''>Home</a> <a href=''#''>About</a>'
+                     || ' <a href=''#''>Blog</a></nav><div><p>'
+                     || substr(text, 1, 80) || '</p><p>' || substr(text, 81, 80)
+                     || '</p></div><footer><a href=''#''>Contact</a>'
+                     || ' <a href=''#''>Terms</a></footer></body></html>' AS html
+              FROM documents
+            ),
+            arrs AS (
+              SELECT doc_id,
+                     string_split_regex(html,
+                       '(?i)</?(?:p|div|h[1-6]|li|ul|ol|section|article|nav|footer|header|td|tr|table|br)\b[^>]*>')
+                       AS blocks
+              FROM h
+            ),
+            b AS (
+              SELECT doc_id, u.i AS block_idx, u.raw AS raw
+              FROM arrs,
+                   unnest([{'i': i - 1, 'raw': blocks[i]}
+                           for i in range(1, len(blocks) + 1)]) AS t(u)
+            ),
+            m AS (
+              SELECT doc_id, block_idx,
+                     trim(regexp_replace(regexp_replace(raw,
+                       '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS text,
+                     trim(regexp_replace(regexp_replace(
+                       coalesce(array_to_string(regexp_extract_all(raw,
+                         '(?is)<a\b[^>]*>(.*?)</a>', 1), ' '), ''),
+                       '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS link_text
+              FROM b
+            ),
+            s AS (
+              SELECT doc_id, block_idx, text,
+                     CAST(length(text) AS DOUBLE) AS n_chars,
+                     len(list_filter(string_split_regex(text, '\s+'),
+                                     x -> len(x) > 0)) AS n_words,
+                     CASE WHEN length(text) > 0
+                          THEN round(CAST(length(link_text) AS DOUBLE)
+                                     / length(text), 6)
+                          ELSE 1.0 END AS link_density
+              FROM m
+            ),
+            k AS (
+              SELECT *, n_words >= 5 AND link_density <= 0.33 AS keep FROM s
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(text, chr(10) ORDER BY block_idx)
+                            FILTER (WHERE keep), '') AS main_text,
+                   CAST(coalesce(sum(CASE WHEN keep THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_blocks_kept,
+                   CAST(count(*) AS BIGINT) AS n_blocks_total
+            FROM k GROUP BY doc_id
         """,
         "edit_distance": """
             WITH t AS (

@@ -190,3 +190,40 @@ def test_pdf_text_lines_source(spark):
     import pytest
     with pytest.raises(NotImplementedError):
         P.pymupdf_extract(b"%PDF-")
+
+
+def test_html_boilerplate_strip(spark):
+    """DOM-heuristic main-content extraction: link-dense nav/footer blocks
+    drop, content paragraphs survive in document order."""
+    from surya_spark.operators import html_main
+
+    docs = spark.createDataFrame(
+        [
+            ("d1",
+             "<html><body>"
+             "<nav><a href='/'>Home</a> <a href='/a'>About</a></nav>"
+             "<div><p>The first real paragraph has plenty of words in it."
+             "</p><p>Second real paragraph also carries enough words here."
+             "</p></div>"
+             "<footer><a href='/t'>Terms</a> <a href='/p'>Privacy</a>"
+             "</footer></body></html>"),
+            ("d2", "<p>short</p>"),                   # < min_words → dropped
+            ("d3", ""),                               # empty document
+        ],
+        "doc_id string, html string",
+    )
+    out = {r["doc_id"]: r for r in
+           html_main.strip_boilerplate(docs).collect()}
+    assert out["d1"]["n_blocks_kept"] == 2
+    lines = out["d1"]["main_text"].split("\n")
+    assert lines[0].startswith("The first real paragraph")
+    assert lines[1].startswith("Second real paragraph")
+    assert "Home" not in out["d1"]["main_text"]
+    assert "Terms" not in out["d1"]["main_text"]
+    assert out["d2"]["n_blocks_kept"] == 0 and out["d2"]["main_text"] == ""
+    assert out["d3"]["n_blocks_kept"] == 0
+
+    # block metrics: the nav block is pure link text (density 1.0)
+    blocks = html_main.html_blocks(docs.filter("doc_id = 'd1'")).collect()
+    navs = [b for b in blocks if "Home" in (b["text"] or "")]
+    assert navs and all(b["link_density"] >= 0.9 for b in navs)
