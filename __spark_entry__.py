@@ -446,6 +446,14 @@ def q_cosine_near_dup(spark, sf_dir):
     )
 
 
+def q_embedding_lsh(spark, sf_dir):
+    # label-free near-dup: random-hyperplane sign-bit blocking (the scale
+    # path when no block column exists); the oracle recomputes every sign
+    # bit with the identical integer plane coefficients and element order
+    return similarity.embedding_lsh_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, dim=64)
+
+
 def q_rank_accuracy(spark, sf_dir):
     # predicted order = column-aware reading order; reference order = by
     # box_id; pairwise agreement per page (§2.5 rank_accuracy)
@@ -782,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
         "cosine_near_dup": q_cosine_near_dup,
+        "embedding_lsh": q_embedding_lsh,
         "rank_accuracy": q_rank_accuracy,
         "salted_doc_stats": q_salted_doc_stats,
         "edit_distance": q_edit_distance,
@@ -889,6 +898,48 @@ def oracle_sql() -> dict[str, str]:
         FROM ix JOIN n na ON ix.doc_a = na.doc_id
                 JOIN n nb ON ix.doc_b = nb.doc_id
         WHERE round(ni / (na.nn + nb.nn - ni), 6) >= 0.05
+    """
+
+    # random-hyperplane LSH oracle: identical integer plane coefficients,
+    # identical element-order dot products (list comprehension folds in
+    # list order, matching Spark's left-associated element_at sum), so
+    # every sign bit — hence every candidate — is bit-reproduced
+    planes = similarity.random_hyperplanes(16, 64)
+    plane_cols = ",\n              ".join(
+        f"[{', '.join(str(w) for w in p)}]::DOUBLE[] AS p{i}"
+        for i, p in enumerate(planes))
+    bit_exprs = ",\n              ".join(
+        f"CASE WHEN list_sum([embedding[x]::DOUBLE * pl.p{i}[x]"
+        f" for x in range(1, 65)]) > 0 THEN '1' ELSE '0' END AS b{i}"
+        for i in range(16))
+    band_structs = ", ".join(
+        "{'band': %d, 'bucket': b%d || b%d || b%d || b%d}"
+        % (b, 4 * b, 4 * b + 1, 4 * b + 2, 4 * b + 3) for b in range(4))
+    embedding_lsh_sql = f"""
+        WITH pl AS (
+          SELECT {plane_cols}
+        ),
+        bits AS (
+          SELECT vec_id,
+              {bit_exprs}
+          FROM embeddings CROSS JOIN pl
+        ),
+        band AS (
+          SELECT vec_id, u.band AS band, u.bucket AS bucket
+          FROM bits, unnest([{band_structs}]) AS t(u)
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM band a JOIN band b
+            ON a.band = b.band AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id
+        ),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        SELECT id_a, id_b,
+               round(list_cosine_similarity(va.e, vb.e), 6) AS cosine
+        FROM cand JOIN v va ON cand.id_a = va.vec_id
+                  JOIN v vb ON cand.id_b = vb.vec_id
+        WHERE round(list_cosine_similarity(va.e, vb.e), 6) >= 0.3
     """
 
     # exact (NON-blocked) all-pairs SimHash at max_dist=3 — the oracle
@@ -1251,6 +1302,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": jacc_pairs,
         "minhash_lsh": minhash_sql,
         "simhash_pairs": simhash_sql,
+        "embedding_lsh": embedding_lsh_sql,
         "ocr_error_labels": """
             SELECT doc_id,
                    CASE WHEN length(text) > 0

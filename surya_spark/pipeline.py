@@ -120,6 +120,7 @@ def checkpointed_extract(
     n_buckets: int = 16,
     n_groups: int = 4,
     max_groups: int | None = None,
+    highres_blobs: DataFrame | None = None,
 ) -> DataFrame:
     """Resumable variant: each model stage materializes bucket-partitioned
     parquet with lineage (plans/checkpoint.py); a killed run re-invoked
@@ -139,6 +140,8 @@ def checkpointed_extract(
         lambda: reading_order.order_lines(detection.detection_stage(pages)),
         bucket_key="media_ref", max_groups=max_groups,
     )
+    hp = (pages_for(documents, highres_blobs)
+          if highres_blobs is not None else None)
     ocr_lines = runner.stage(
         "ocr_lines",
         lambda: recognition.recognize(
@@ -146,6 +149,7 @@ def checkpointed_extract(
                 ordered.select("media_ref", "line_idx", "position",
                                "x1", "y1", "x2", "y2"),
                 pages,
+                highres_pages=hp,
             ),
             emit_chars=False,
         ),

@@ -239,3 +239,77 @@ def cosine_near_dup(vectors: DataFrame, threshold: float = 0.95,
         "id_a", "id_b",
         F.round(cos, 6).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
+
+
+def random_hyperplanes(n_planes: int, dim: int,
+                       seed: int = 20240816) -> list[list[int]]:
+    """Deterministic random-hyperplane coefficients (small integers in
+    [-3, 3]): float32 embedding × small int products are EXACT in double,
+    so the sign bits — the only thing that matters — are bit-reproducible
+    by the DuckDB oracle summing in the same element order."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.randint(-3, 3) for _ in range(dim)]
+            for _ in range(n_planes)]
+
+
+def embedding_lsh_pairs(vectors: DataFrame, threshold: float = 0.8,
+                        n_planes: int = 16, bands: int = 4,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        dim: int = 64,
+                        seed: int = 20240816) -> DataFrame:
+    """Label-free cosine near-dup at scale: random-hyperplane LSH
+    (sign-bit SimHash over embeddings) replaces cosine_near_dup's
+    block_col requirement — bucket = a band of sign bits, candidates =
+    equi-join on (band, bucket), verified with exact cosine ≥ threshold.
+    Two vectors at angle θ agree on one plane with prob 1−θ/π; a 4-bit
+    band matches with that to the 4th power, and 4 bands give near-dup
+    recall ≈ 1−(1−p⁴)⁴ — high for cosine ≥ 0.8, and the shuffle key is
+    the bucket, uniform by construction. No cross join anywhere."""
+    planes = random_hyperplanes(n_planes, dim, seed)
+    per_band = n_planes // bands
+    bit_cols = []
+    for p, w in enumerate(planes):
+        acc = F.lit(0.0)
+        for i, wi in enumerate(w, start=1):
+            if wi:
+                acc = acc + F.element_at(F.col(vec_col), i).cast(
+                    "double") * F.lit(float(wi))
+        bit_cols.append(
+            F.when(acc > 0, F.lit("1")).otherwise(F.lit("0")).alias(f"b{p}"))
+    bitted = vectors.select(F.col(id_col), F.col(vec_col), *bit_cols)
+    band_cols = [
+        F.concat(*[F.col(f"b{b * per_band + j}") for j in range(per_band)])
+        for b in range(bands)
+    ]
+    banded = bitted.select(
+        id_col, F.posexplode(F.array(*band_cols)).alias("band", "bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+        .persist()  # feeds both sides of the verify join
+    )
+    withn = with_norm(vectors.select(id_col, vec_col), vec_col, "_n", dim)
+    va = withn.select(F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("va"), F.col("_n").alias("na"))
+    vb = withn.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("vb"), F.col("_n").alias("nb"))
+    d = F.col("na") * F.col("nb")
+    cos = F.when(d > 0, dot(F.col("va"), F.col("vb"), dim) / d) \
+        .otherwise(F.lit(0.0))
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -211,3 +211,25 @@ def test_knn_ivf_nprobe_and_cap(spark):
         F.max("count")).collect()[0][0])
     assert n_per <= 3  # still top-k
     assert capped.count() > 0
+
+
+def test_embedding_lsh_pairs(spark):
+    """Random-hyperplane LSH: identical/near-identical vectors share all
+    sign bits -> always candidates; orthogonal vectors drop out at the
+    cosine verify."""
+    vecs = spark.createDataFrame(
+        pd.DataFrame({
+            "vec_id": [0, 1, 2, 3],
+            "embedding": [
+                [1.0, 0.2] * 32,
+                [0.99, 0.21] * 32,           # near-dup of 0
+                [-1.0, 0.5] * 32,            # far
+                [0.0, 1.0] * 32,             # different direction
+            ],
+        })
+    )
+    out = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in similarity.embedding_lsh_pairs(
+               vecs, threshold=0.9, dim=64).collect()}
+    assert (0, 1) in out and out[(0, 1)] > 0.99
+    assert all(a != 2 and b != 2 for a, b in out)
