@@ -500,6 +500,17 @@ def q_edit_distance(spark, sf_dir):
     )
 
 
+def q_curate_corpus(spark, sf_dir):
+    """Training-set curation composition: quality gate + exact-dedup keep
+    + per-language token-budget shard packing — the flow a 100 TB corpus
+    runs before tokenization. Shard ids are deterministic (cumulative
+    kept-token prefix per language, ordered by doc_id)."""
+    from surya_spark.training import curation
+
+    return curation.curate_corpus(
+        _t(spark, sf_dir, "documents"), min_quality=0.5, shard_tokens=2000)
+
+
 def q_html_main(spark, sf_dir):
     """Main-content extraction (north-rule: HTML boilerplate strip via DOM
     heuristics): deterministic HTML wraps each document's text in nav +
@@ -795,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_doc_stats": q_salted_doc_stats,
         "edit_distance": q_edit_distance,
         "html_main": q_html_main,
+        "curate_corpus": q_curate_corpus,
         "priority_cube": q_priority_cube,
         "windowed_events": q_windowed_events,
         "json_extract": q_json_extract,
@@ -1411,6 +1423,31 @@ def oracle_sql() -> dict[str, str]:
                      AS pair_accuracy
             FROM pred a JOIN pred b ON a.key = b.key AND a.i < b.i
             GROUP BY a.key
+        """,
+        "curate_corpus": f"""
+            WITH base AS ({profile_base}),
+            hh AS (SELECT doc_id, norm_text, n, alpha, punct, toks, dtoks,
+                          {hits_sql}
+                   FROM base),
+            p AS (SELECT doc_id, {lang_sql} AS lang_pred,
+                         {quality_sql} AS quality,
+                         CAST(toks AS BIGINT) AS n_tokens,
+                         md5(norm_text) AS fp
+                  FROM hh),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY fp ORDER BY doc_id) AS dup_rank
+                  FROM p),
+            k AS (SELECT doc_id, lang_pred, quality, n_tokens,
+                         quality >= 0.5 AND dup_rank = 1 AS keep
+                  FROM r),
+            c AS (SELECT *, sum(CASE WHEN keep THEN n_tokens ELSE 0 END)
+                          OVER (PARTITION BY lang_pred ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM k)
+            SELECT doc_id, lang_pred, quality, n_tokens, keep,
+                   CASE WHEN keep THEN
+                     CAST((cum - n_tokens) // 2000 AS BIGINT) END AS shard_id
+            FROM c
         """,
         "html_main": r"""
             WITH h AS (

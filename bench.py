@@ -43,6 +43,8 @@ HEADLINE = [
     "windowed_events",
     "bbox6_roundtrip",
     "edit_distance",
+    "html_main",
+    "embedding_lsh",
 ]
 
 

@@ -53,7 +53,8 @@ def free_lines(ocr_lines: DataFrame, cells: DataFrame | None) -> DataFrame:
         & (lcx >= F.col("c.x1")) & (lcx < F.col("c.x2"))
         & (lcy >= F.col("c.y1")) & (lcy < F.col("c.y2"))
     )
-    return ln.join(cl, on=pred, how="left_anti")
+    # cells are data-derived: keep the anti-join a shuffled hash join
+    return ln.join(cl.hint("shuffle_hash"), on=pred, how="left_anti")
 
 
 def assemble_spans(documents: DataFrame, ocr_lines: DataFrame,
@@ -67,7 +68,10 @@ def assemble_spans(documents: DataFrame, ocr_lines: DataFrame,
         "kind", "text", "media_ref",
     )
 
-    media = media_spans(span_rows).select("doc_id", "offset", "media_ref")
+    # derived from the full documents table — shuffle-hash, never a
+    # driver-built broadcast (serial cost ∝ corpus size)
+    media = media_spans(span_rows).select(
+        "doc_id", "offset", "media_ref").hint("shuffle_hash")
 
     # packing invariant: line sub_orders live in [0, 1e6), cell sub_orders
     # in [1e6, ...) with 1000 columns per row — guarded at runtime because

@@ -65,6 +65,13 @@ def slice_crops(lines: DataFrame, pages: DataFrame,
             F.struct("line_idx", "position", "x1", "y1", "x2", "y2")
         ).alias("boxes")
     )
+    # the boxes aggregate derives from the FULL detection output — letting
+    # the optimizer broadcast it makes the driver collect and serialize
+    # the whole per-page box list (a serial, size-proportional cost that
+    # capped scaling efficiency; it even hit the 300 s broadcast timeout
+    # at low parallelism). shuffle_hash keeps the join distributed on the
+    # media_ref partitioning both sides already have.
+    boxes = boxes.hint("shuffle_hash")
     if highres_pages is None:
         joined = pages.join(boxes, "media_ref", "inner").select(
             "media_ref", "img_bytes", "boxes",

@@ -54,7 +54,10 @@ def table_crops(regions: DataFrame, pages: DataFrame,
     boxes = tables.groupBy("media_ref").agg(
         F.collect_list(F.struct("table_idx", "x1", "y1", "x2", "y2")).alias("tboxes")
     )
-    joined = pages.join(boxes, "media_ref", "inner").select(
+    # data-derived aggregate: shuffle-hash, never driver-broadcast
+    # (see recognition.slice_crops)
+    joined = pages.join(boxes.hint("shuffle_hash"), "media_ref",
+                        "inner").select(
         "media_ref", "img_bytes", "tboxes"
     )
     ex = expand_pct
@@ -129,7 +132,9 @@ def cell_grid(items: DataFrame) -> DataFrame:
         F.col("item_id").alias("col_id"),
         F.col("x1").alias("cx1"), F.col("x2").alias("cx2"),
     )
-    return rows.join(cols, ["media_ref", "table_idx"]).select(
+    # cols is data-derived — shuffle-hash, not driver-broadcast
+    return rows.join(cols.hint("shuffle_hash"),
+                     ["media_ref", "table_idx"]).select(
         "media_ref", "table_idx", "row_id", "col_id", "is_header",
         F.greatest("rx1", "cx1").alias("x1"),
         F.col("ry1").alias("y1"),
@@ -160,7 +165,7 @@ def apply_spanning_cells(cells: DataFrame, items: DataFrame,
         sp["sx1"], sp["sy1"], sp["sx2"], sp["sy2"],
     )
     joined = cells.join(
-        sp,
+        sp.hint("shuffle_hash"),
         (cells["media_ref"] == sp["s_media_ref"])
         & (cells["table_idx"] == sp["s_table_idx"])
         & (cover >= min_cover),
@@ -205,7 +210,7 @@ def assign_cell_text(cells: DataFrame, ocr_lines: DataFrame) -> DataFrame:
         ((F.col("y1") + F.col("y2")) / 2).alias("lcy"),
     )
     group_cols = [c for c in cells.columns if c != "media_ref"]
-    joined = cells.join(
+    joined = cells.hint("shuffle_hash").join(
         ln,
         (cells["media_ref"] == ln["media_ref"])
         & (ln["lcx"] >= cells["x1"]) & (ln["lcx"] < cells["x2"])

@@ -41,7 +41,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.autoBroadcastJoinThreshold",
+                os.environ.get("SPARK_GRAFT_ABJT", str(64 * 1024 * 1024)))
+        # mid-pipeline broadcast children can be whole UDF stages; at low
+        # parallelism their computation alone exceeds the 300 s default
+        .config("spark.sql.broadcastTimeout", "3600")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -233,3 +233,22 @@ def test_embedding_lsh_pairs(spark):
                vecs, threshold=0.9, dim=64).collect()}
     assert (0, 1) in out and out[(0, 1)] > 0.99
     assert all(a != 2 and b != 2 for a, b in out)
+
+
+def test_curate_corpus_keep_and_shards(spark):
+    """Quality gate + dedup keep + per-language token-budget sharding."""
+    from surya_spark.training import curation
+
+    out = {r["doc_id"]: r for r in
+           curation.curate_corpus(_docs(spark), min_quality=0.0,
+                                  shard_tokens=15).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False        # dup of doc 1 → dropped
+    assert out[2]["shard_id"] is None
+    # kept docs pack shards by cumulative token prefix within language
+    en = sorted((d, r) for d, r in out.items()
+                if r["keep"] and r["lang_pred"] == "en")
+    cum = 0
+    for d, r in en:
+        assert r["shard_id"] == cum // 15
+        cum += r["n_tokens"]

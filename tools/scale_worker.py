@@ -31,11 +31,23 @@ def main() -> None:
     wblobs = spark.read.parquet(f"{inp}_warm/page_blobs.parquet")
     pipeline.extract(wdocs, wblobs, with_tables=True) \
         .write.mode("overwrite").format("noop").save()
-    t0 = time.time()
-    pipeline.extract(docs, blobs, with_tables=True) \
-        .write.mode("overwrite").format("noop").save()
-    dt = time.time() - t0
+    # timed repetitions, report the min: single-JVM wall times on this
+    # shared box vary ±15% run-to-run; min-of-n damps interference without
+    # hiding real scaling behavior (both levels get the same treatment).
+    # clearCache between reps — identical logical plans would otherwise
+    # resolve to the previous rep's InMemoryRelation and measure cache
+    # reads instead of the job.
+    n_reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
+    reps = []
+    for _ in range(n_reps):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        pipeline.extract(docs, blobs, with_tables=True) \
+            .write.mode("overwrite").format("noop").save()
+        reps.append(time.time() - t0)
+    dt = min(reps)
     print(json.dumps({"cores": cores, "sec": round(dt, 3),
+                      "reps": [round(r, 3) for r in reps],
                       "docs_per_sec": round(n_docs / dt, 2)}))
     spark.stop()
 
