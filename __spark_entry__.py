@@ -916,17 +916,20 @@ def oracle_sql() -> dict[str, str]:
     # identical element-order dot products (list comprehension folds in
     # list order, matching Spark's left-associated element_at sum), so
     # every sign bit — hence every candidate — is bit-reproduced
-    planes = similarity.random_hyperplanes(16, 64)
+    n_pl, n_bands = 32, 4
+    per_band = n_pl // n_bands
+    planes = similarity.random_hyperplanes(n_pl, 64)
     plane_cols = ",\n              ".join(
         f"[{', '.join(str(w) for w in p)}]::DOUBLE[] AS p{i}"
         for i, p in enumerate(planes))
     bit_exprs = ",\n              ".join(
         f"CASE WHEN list_sum([embedding[x]::DOUBLE * pl.p{i}[x]"
         f" for x in range(1, 65)]) > 0 THEN '1' ELSE '0' END AS b{i}"
-        for i in range(16))
+        for i in range(n_pl))
     band_structs = ", ".join(
-        "{'band': %d, 'bucket': b%d || b%d || b%d || b%d}"
-        % (b, 4 * b, 4 * b + 1, 4 * b + 2, 4 * b + 3) for b in range(4))
+        "{'band': %d, 'bucket': %s}" % (
+            b, " || ".join(f"b{b * per_band + j}" for j in range(per_band)))
+        for b in range(n_bands))
     embedding_lsh_sql = f"""
         WITH pl AS (
           SELECT {plane_cols}

@@ -76,11 +76,16 @@ def main() -> None:
             materialize(qs[name](spark, warm_dir))
         except Exception:
             pass
+    spark.catalog.clearCache()
 
     for name in HEADLINE:
         t0 = time.time()
         materialize(qs[name](spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
+        # operators persist intermediates (fan-out pinning); drop them so
+        # query N+1 isn't taxed by query N's cached RDDs (eviction + GC
+        # inflated later queries by 2x before this)
+        spark.catalog.clearCache()
 
     # flagship: end-to-end extraction, sf-scaled synthetic interleaved
     # table. The input is MATERIALIZED to parquet outside the timed region
