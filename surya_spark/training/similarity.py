@@ -14,12 +14,21 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Dot product. With `dim` given, expands to an explicit left-associated
     sum of element_at terms — stays inside whole-stage codegen and runs
     ~10× faster than the higher-order aggregate/zip_with fold, which Spark
     evaluates interpreted. Identical float semantics (same addition order).
-    Without dim, falls back to the fold (any-length arrays)."""
+    When both operands are column NAMES, the expansion is built as one SQL
+    string (F.expr) — composing 64-term Column trees through py4j costs
+    real driver time per call (CLAUDE.md round-2 note). Without dim, falls
+    back to the fold (any-length arrays)."""
+    if dim is not None and isinstance(a, str) and isinstance(b, str):
+        terms = " + ".join(
+            f"CAST(element_at({a}, {i}) AS DOUBLE)"
+            f" * CAST(element_at({b}, {i}) AS DOUBLE)"
+            for i in range(1, dim + 1))
+        return F.expr(f"({terms})")
     if dim is not None:
         acc = F.lit(0.0)
         for i in range(1, dim + 1):
@@ -34,7 +43,13 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     )
 
 
-def norm(a: Column, dim: int | None = None) -> Column:
+def norm(a: Column | str, dim: int | None = None) -> Column:
+    if dim is not None and isinstance(a, str):
+        terms = " + ".join(
+            f"CAST(element_at({a}, {i}) AS DOUBLE)"
+            f" * CAST(element_at({a}, {i}) AS DOUBLE)"
+            for i in range(1, dim + 1))
+        return F.sqrt(F.expr(f"({terms})"))
     if dim is not None:
         acc = F.lit(0.0)
         for i in range(1, dim + 1):
@@ -60,7 +75,7 @@ def with_norm(df: DataFrame, vec_col: str, out_col: str,
     expression (just the dot product) under the JVM's 64 KB codegen method
     limit — the fused 3-reduction cosine expression falls back to
     interpreted evaluation."""
-    return df.withColumn(out_col, norm(F.col(vec_col), dim))
+    return df.withColumn(out_col, norm(vec_col, dim))
 
 
 def knn_bruteforce(vectors: DataFrame, queries: DataFrame, k: int = 5,
@@ -78,7 +93,7 @@ def knn_bruteforce(vectors: DataFrame, queries: DataFrame, k: int = 5,
                        F.col(vec_col).alias("v_vec")),
         "v_vec", "v_n", dim)
     d = F.col("q_n") * F.col("v_n")
-    cos = F.when(d > 0, dot(F.col("q_vec"), F.col("v_vec"), dim) / d) \
+    cos = F.when(d > 0, dot("q_vec", "v_vec", dim) / d) \
         .otherwise(F.lit(0.0))
     scored = v.crossJoin(F.broadcast(q)).select(
         query_id,
@@ -109,7 +124,7 @@ def assign_clusters(vectors: DataFrame, centroids: DataFrame,
         "c_vec", "c_n", dim)
     vv = with_norm(vectors.select(id_col, vec_col), vec_col, "v_n", dim)
     d = F.col("v_n") * F.col("c_n")
-    cos = F.when(d > 0, dot(F.col(vec_col), F.col("c_vec"), dim) / d) \
+    cos = F.when(d > 0, dot(vec_col, "c_vec", dim) / d) \
         .otherwise(F.lit(0.0))
     scored = vv.crossJoin(F.broadcast(c)).select(
         id_col, vec_col, cent_id,
@@ -170,7 +185,7 @@ def knn_ivf(vectors: DataFrame, centroids: DataFrame, k: int = 3,
         "cluster",
     )
     d = F.col("q_n") * F.col("v_n")
-    cos = F.when(d > 0, dot(F.col("q_vec"), F.col("v_vec"), dim) / d) \
+    cos = F.when(d > 0, dot("q_vec", "v_vec", dim) / d) \
         .otherwise(F.lit(0.0))
     scored = a.join(b, "cluster").filter(
         F.col("query_id") != F.col("neighbor_id")
@@ -233,7 +248,7 @@ def cosine_near_dup(vectors: DataFrame, threshold: float = 0.95,
     else:
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     d = F.col("n_a") * F.col("n_b")
-    cos = F.when(d > 0, dot(F.col("vec_a"), F.col("vec_b"), dim) / d) \
+    cos = F.when(d > 0, dot("vec_a", "vec_b", dim) / d) \
         .otherwise(F.lit(0.0))
     return pairs.select(
         "id_a", "id_b",
@@ -316,7 +331,7 @@ def embedding_lsh_pairs(vectors: DataFrame, threshold: float = 0.8,
     vb = withn.select(F.col(id_col).alias("id_b"),
                       F.col(vec_col).alias("vb"), F.col("_n").alias("nb"))
     d = F.col("na") * F.col("nb")
-    cos = F.when(d > 0, dot(F.col("va"), F.col("vb"), dim) / d) \
+    cos = F.when(d > 0, dot("va", "vb", dim) / d) \
         .otherwise(F.lit(0.0))
     return (
         cand.join(va, "id_a").join(vb, "id_b")
