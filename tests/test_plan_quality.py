@@ -90,3 +90,19 @@ def test_simhash_blocking_join_is_equi(spark):
     plan = _plan(dedup.simhash_pairs(sim, max_dist=3))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_extract_no_driver_broadcasts(spark):
+    """Every join side in the extraction DAG derives from the corpus, so
+    NO BroadcastExchange may appear — auto-broadcast of data-derived
+    aggregates makes the driver serially collect data proportional to
+    corpus size (the round-2 scaling fix; BENCH.md)."""
+    from surya_spark import datagen, pipeline
+
+    docs = datagen.gen_documents(spark, 12, partitions=2)
+    blobs = datagen.gen_page_blobs(spark, 12, partitions=2)
+    out = pipeline.extract(docs, blobs, with_tables=True, persist=False)
+    plan = _plan(out)
+    assert "BroadcastExchange" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
