@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from surya_spark import datagen, pipeline  # noqa: E402
 from surya_spark.functions import geometry as G  # noqa: E402
 from surya_spark.functions import text as TX  # noqa: E402
+from surya_spark.plans import caching  # noqa: E402
 from surya_spark.training import dedup, multimodal, similarity, textstats  # noqa: E402
 
 N_DOCS_ENTRY = 60
@@ -594,7 +595,7 @@ def q_windowed_events(spark, sf_dir):
     )
 
 
-# ------------------------------ rows-only (no SQL-expressible oracle) ------
+# ---- sequential kernels, oracled via DuckDB recursive CTEs this round ----
 
 
 def q_greedy_iou_match(spark, sf_dir):
@@ -606,7 +607,9 @@ def q_greedy_iou_match(spark, sf_dir):
     t = _truth_boxes(spark, sf_dir).filter(F.col("page_id") < 50).select(
         F.col("page_id").cast("string").alias("key"),
         F.col("tbox_id").alias("box_id"), "x1", "y1", "x2", "y2")
-    return greedy_iou_match(p, t)
+    out = greedy_iou_match(p, t)
+    return out.select("key", "pred_id", "ref_id",
+                      F.round("iou", 6).alias("iou"))
 
 
 def q_vertical_line_merge(spark, sf_dir):
@@ -776,7 +779,23 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def _owning(fn: Callable[[SparkSession, str], DataFrame]):
+    """Wrap a query so the driver's first action on its result releases
+    every cache the library registered for the session (plans/caching.py)
+    — the driver runs queries sequentially, so a blanket release after
+    each query is safe and keeps long sessions free of leaked
+    InMemoryRelations."""
+    def wrapped(spark: SparkSession, sf: str) -> DataFrame:
+        return caching.own_session(fn(spark, sf))
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: _owning(v) for k, v in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
         "top_revenue_nations": q_top_revenue_nations,
@@ -1565,8 +1584,96 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(value), 6) AS avg_value
             FROM events GROUP BY 1, 2, 3
         """,
-        # greedy_iou_match / vertical_line_merge: intentionally omitted —
-        # greedy 1-1 assignment and transitive union-find are inherently
-        # sequential per group and have no SQL-expressible equivalent;
-        # the driver records rows-only checks for these two.
+        # greedy 1-1 IoU assignment as a recursive state machine: one state
+        # row per page carries the used-id lists; each step LATERAL-picks
+        # the best remaining pair (iou DESC, pred_id, ref_id — the exact
+        # deterministic order the Spark kernel uses). Every iou is an
+        # exact rational of integer boxes, identical in double on both
+        # engines.
+        "greedy_iou_match": f"""
+            WITH RECURSIVE
+            preds AS (
+              SELECT CAST(page_id AS VARCHAR) AS key, box_id AS pred_id,
+                     x1, y1, x2, y2
+              FROM ({_BOXES_SQL}) WHERE page_id < 50
+            ),
+            refs AS (
+              SELECT CAST(page_id AS VARCHAR) AS key, tbox_id AS ref_id,
+                     x1 AS rx1, y1 AS ry1, x2 AS rx2, y2 AS ry2
+              FROM ({_TRUTH_SQL}) WHERE page_id < 50
+            ),
+            pairs AS (
+              SELECT key, pred_id, ref_id,
+                     greatest(least(x2, rx2) - greatest(x1, rx1), 0)
+                       * greatest(least(y2, ry2) - greatest(y1, ry1), 0)
+                       AS inter,
+                     (x2 - x1) * (y2 - y1) + (rx2 - rx1) * (ry2 - ry1)
+                       AS areas
+              FROM preds JOIN refs USING (key)
+            ),
+            scored AS (
+              SELECT key, pred_id, ref_id, inter / (areas - inter) AS iou
+              FROM pairs WHERE inter > 0 AND areas - inter > 0
+            ),
+            sel AS (
+              SELECT key, [pred_id] AS up, [ref_id] AS ur,
+                     pred_id, ref_id, iou
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY key
+                      ORDER BY iou DESC, pred_id, ref_id) AS rk
+                    FROM scored)
+              WHERE rk = 1
+              UNION ALL
+              SELECT s.key, list_append(s.up, c.pred_id),
+                     list_append(s.ur, c.ref_id), c.pred_id, c.ref_id, c.iou
+              FROM sel s, LATERAL (
+                SELECT pred_id, ref_id, iou FROM scored r
+                WHERE r.key = s.key
+                  AND NOT list_contains(s.up, r.pred_id)
+                  AND NOT list_contains(s.ur, r.ref_id)
+                ORDER BY r.iou DESC, r.pred_id, r.ref_id LIMIT 1) c
+            )
+            SELECT key, pred_id, ref_id, round(iou, 6) AS iou FROM sel
+        """,
+        # union-find transitive merge as a reachability closure (UNION
+        # dedup recursion); component id = dense rank of min seg_id, the
+        # canonical contract the Spark kernel emits
+        "vertical_line_merge": """
+            WITH RECURSIVE segs AS (
+              SELECT CAST(s_nationkey % 5 AS VARCHAR) AS key,
+                     s_suppkey AS seg_id,
+                     CAST((s_suppkey * 31) % 200 AS DOUBLE) AS x1,
+                     CAST((s_suppkey * 53) % 600 AS DOUBLE) AS y1,
+                     CAST((s_suppkey * 31) % 200 + 3 AS DOUBLE) AS x2,
+                     CAST((s_suppkey * 53) % 600 + 80 AS DOUBLE) AS y2
+              FROM supplier
+            ),
+            edges AS (
+              SELECT a.key, a.seg_id AS u, b.seg_id AS v
+              FROM segs a JOIN segs b
+                ON a.key = b.key AND a.seg_id <> b.seg_id
+              WHERE abs((a.x1 + a.x2) / 2 - (b.x1 + b.x2) / 2) <= 12.0
+                AND least(a.y2, b.y2) + 4.0 >= greatest(a.y1, b.y1)
+            ),
+            reach AS (
+              SELECT key, seg_id AS a, seg_id AS b FROM segs
+              UNION
+              SELECT r.key, r.a, e.v
+              FROM reach r JOIN edges e ON r.key = e.key AND r.b = e.u
+            ),
+            comp AS (
+              SELECT key, a AS seg_id, min(b) AS root
+              FROM reach GROUP BY key, a
+            )
+            SELECT c.key,
+                   CAST(dense_rank() OVER (
+                     PARTITION BY c.key ORDER BY c.root) - 1 AS INT)
+                     AS group_id,
+                   min(s.x1) AS x1, min(s.y1) AS y1,
+                   max(s.x2) AS x2, max(s.y2) AS y2,
+                   CAST(count(*) AS INT) AS n_segments
+            FROM comp c JOIN segs s
+              ON c.key = s.key AND c.seg_id = s.seg_id
+            GROUP BY c.key, c.root
+        """,
     }

@@ -160,7 +160,9 @@ def clean_contained_boxes(lines: DataFrame) -> DataFrame:
             )
         )
     )
-    kept = a.join(b, on=contained, how="left_anti")
+    # b derives from the corpus: force a shuffled hash anti-join — a
+    # driver-side broadcast build would grow with corpus size (BENCH.md 7)
+    kept = a.join(b.hint("shuffle_hash"), on=contained, how="left_anti")
     return kept.filter(
         G.area(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")) > 0
     )

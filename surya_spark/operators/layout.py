@@ -97,8 +97,9 @@ def stitch_positions(tiled: DataFrame,
     offsets = counts.withColumn(
         "_offset", F.coalesce(F.sum("_n_tile").over(w_cum), F.lit(0)))
     return (
-        tiled.join(offsets.select(key, tile_col, "_offset"),
-                   [key, tile_col])
+        tiled.join(offsets.select(key, tile_col, "_offset")
+                   .hint("shuffle_hash"),  # corpus-derived side, never
+                   [key, tile_col])        # driver-broadcast (BENCH.md 7)
         .withColumn("position",
                     (F.col(emit_col) + F.col("_offset") + 1).cast("int"))
         .drop("_offset")

@@ -54,16 +54,24 @@ def greedy_iou_match(pred: DataFrame, ref: DataFrame) -> DataFrame:
         out = []
         used_p: set[int] = set()
         used_r: set[int] = set()
-        order = np.dstack(np.unravel_index(np.argsort(-iou, axis=None),
-                                           iou.shape))[0]
-        for pi, ri in order:
+        # deterministic greedy order: iou DESC, then (pred_id, ref_id)
+        # ASC — without the id tie-break the result depends on pandas
+        # group row order (shuffle-dependent), which would make the
+        # output non-reproducible across runs and engines
+        pid = preds[:, 0].astype(np.int64)
+        rid = refs[:, 0].astype(np.int64)
+        flat = iou.ravel()
+        pi_flat, ri_flat = np.unravel_index(np.arange(flat.size), iou.shape)
+        order = np.lexsort((rid[ri_flat], pid[pi_flat], -flat))
+        for idx in order:
+            pi, ri = int(pi_flat[idx]), int(ri_flat[idx])
             if iou[pi, ri] <= 0:
                 break
             if pi in used_p or ri in used_r:
                 continue
             used_p.add(pi)
             used_r.add(ri)
-            out.append((key, int(preds[pi, 0]), int(refs[ri, 0]),
+            out.append((key, int(pid[pi]), int(rid[ri]),
                         float(iou[pi, ri])))
         return pd.DataFrame(out, columns=[f.name for f in _MATCH_OUT])
 
@@ -112,8 +120,19 @@ def merge_vertical_lines(segments: DataFrame, x_tol: float = 12.0,
                     if ri != rj:
                         parent[rj] = ri
         roots = [find(i) for i in range(n)]
+        # canonical group ids: dense rank of each component's MIN seg_id —
+        # union-find root indices depend on the union sequence, so they
+        # are not a stable contract (and not oracle-replicable); min
+        # seg_id is
+        seg_ids = segs["seg_id"].to_numpy()
+        comp_min = {}
+        for i, r in enumerate(roots):
+            m = comp_min.get(r)
+            if m is None or seg_ids[i] < m:
+                comp_min[r] = seg_ids[i]
         out = []
-        for gid, root in enumerate(sorted(set(roots))):
+        for gid, (root, _) in enumerate(
+                sorted(comp_min.items(), key=lambda kv: kv[1])):
             idx = [i for i, r in enumerate(roots) if r == root]
             out.append((
                 key, gid,

@@ -25,6 +25,7 @@ from pyspark.sql import types as T
 from .. import schemas
 from ..datagen import decode_page
 from ..functions import geometry as G
+from ..plans import caching
 from . import slots
 
 _TABLE_CROPS = T.StructType([
@@ -241,7 +242,11 @@ def table_stage(regions: DataFrame, pages: DataFrame,
     # its lineage contains the whole layout stage — unpersisted, Spark
     # re-executes layout per branch (cheap in round 1's single-UDF layout,
     # 2x the tiled stitch/merge machinery now; measured 31 s → 14 s at
-    # 4000 docs when pinned)
-    items = table_items(crops, slot).persist()
-    cells = apply_spanning_cells(cell_grid(items), items)
-    return assign_cell_text(cells, ocr_lines)
+    # 4000 docs when pinned). caching.scope: inside pipeline.extract the
+    # handle bubbles to extract's scope; standalone, the returned cells
+    # release it on their first action.
+    with caching.scope() as (handles, is_owner):
+        items = caching.managed(table_items(crops, slot))
+        cells = apply_spanning_cells(cell_grid(items), items)
+        return caching.owned(
+            assign_cell_text(cells, ocr_lines), handles, is_owner)

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from .operators import assemble, detection, layout, reading_order, recognition
 from .operators import slots, tables
-from .plans import partitioning
+from .plans import caching, partitioning
 
 
 def pages_for(documents: DataFrame, page_blobs: DataFrame,
@@ -39,7 +39,11 @@ def pages_for(documents: DataFrame, page_blobs: DataFrame,
         .filter(F.col("kind").isin("page", "table"))
         .select("media_ref")
     )
-    pages = page_blobs.join(refs, "media_ref", "left_semi")
+    # refs derives from the full documents table — corpus-sized, so a
+    # driver-side broadcast build grows with the corpus (BENCH.md rule 7).
+    # shuffle_hash keeps the semi-join build distributed.
+    pages = page_blobs.join(refs.hint("shuffle_hash"), "media_ref",
+                            "left_semi")
     if pack_partitions:
         pages = partitioning.pack_by_cost(
             pages.withColumn(
@@ -75,41 +79,50 @@ def extract(
     sc = documents.sparkSession.sparkContext
     par = pack_partitions or sc.defaultParallelism
 
-    pages = pages_for(documents, page_blobs, pack_partitions)
-    if persist:
-        pages = pages.repartition(par, F.col("media_ref")).persist()
+    # caching.scope: persisted stages (pages, ocr_lines, table items) are
+    # released by the first action on the returned spans — no
+    # InMemoryRelation leaks across queries in a long-lived session
+    with caching.scope() as (handles, is_owner):
+        pages = pages_for(documents, page_blobs, pack_partitions)
+        if persist:
+            pages = caching.managed(
+                pages.repartition(par, F.col("media_ref")))
 
-    lines = detection.detection_stage(pages, detect_slot)
-    ordered = reading_order.order_lines(lines)
+        lines = detection.detection_stage(pages, detect_slot)
+        ordered = reading_order.order_lines(lines)
 
-    # highres path: detection/layout read the lowres blob; recognition
-    # crops come from the 2x render with polygons rescaled (ref
-    # recognition/__init__.py:158-170, scripts/config.py:36-42)
-    hp = (pages_for(documents, highres_blobs)
-          if highres_blobs is not None else None)
-    crops = recognition.slice_crops(
-        ordered.select("media_ref", "line_idx", "position",
-                       "x1", "y1", "x2", "y2"),
-        pages,
-        highres_pages=hp,
-    )
-    # chars pruned inside the UDF unless requested: span assembly never
-    # reads them and they are the pipeline's single largest Python/Arrow
-    # cost (see recognition.recognize docstring)
-    ocr_lines = recognition.recognize(crops, recognize_slot,
-                                      emit_chars=emit_chars)
-    if persist:
-        ocr_lines = ocr_lines.persist()
+        # highres path: detection/layout read the lowres blob; recognition
+        # crops come from the 2x render with polygons rescaled (ref
+        # recognition/__init__.py:158-170, scripts/config.py:36-42)
+        hp = (pages_for(documents, highres_blobs)
+              if highres_blobs is not None else None)
+        crops = recognition.slice_crops(
+            ordered.select("media_ref", "line_idx", "position",
+                           "x1", "y1", "x2", "y2"),
+            pages,
+            highres_pages=hp,
+        )
+        # chars pruned inside the UDF unless requested: span assembly never
+        # reads them and they are the pipeline's single largest Python/Arrow
+        # cost (see recognition.recognize docstring)
+        ocr_lines = recognition.recognize(crops, recognize_slot,
+                                          emit_chars=emit_chars)
+        if persist:
+            ocr_lines = caching.managed(ocr_lines)
 
-    cells = None
-    if with_tables:
-        # tiled variant: >1500 px pages run the layout slot per ≤4 tiles
-        # (bounded activations), stitched+merged back relationally; small
-        # pages pass through as one tile at zero extra cost
-        regions = layout.layout_stage_tiled(pages, layout_slot)
-        cells = tables.table_stage(regions, pages, ocr_lines, table_slot)
+        cells = None
+        if with_tables:
+            # tiled variant: >1500 px pages run the layout slot per ≤4
+            # tiles (bounded activations), stitched+merged back
+            # relationally; small pages pass through as one tile at zero
+            # extra cost
+            regions = layout.layout_stage_tiled(pages, layout_slot)
+            cells = tables.table_stage(regions, pages, ocr_lines,
+                                       table_slot)
 
-    return assemble.assemble_spans(documents, ocr_lines, cells)
+        return caching.owned(
+            assemble.assemble_spans(documents, ocr_lines, cells),
+            handles, is_owner)
 
 
 def checkpointed_extract(

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import text as TX
+from ..plans import caching
 
 # 31-bit Mersenne prime for the minhash linear-permutation family
 # sig_i(x) = (a_i * (h(x) mod P) + b_i) mod P — products stay < 2^62 so the
@@ -215,15 +216,16 @@ def _jaccard_over_candidates(cand: DataFrame, rows: DataFrame) -> DataFrame:
     # cand feeds THREE consumers (both docs_c branches + the inter join)
     # and r feeds FOUR (ra, rb, and n joined twice) — without persist
     # Spark re-executes the banding join per branch: measured 38 s vs ~1 s
-    # on a 50-doc warmup (lineage re-execution, CLAUDE.md rule #2)
-    cand = cand.persist()
+    # on a 50-doc warmup (lineage re-execution, CLAUDE.md rule #2).
+    # caching.managed registers for release on the result's first action.
+    cand = caching.managed(cand)
     docs_c = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    r = rows.select("doc_id", "s").join(
-        docs_c, "doc_id", "left_semi").persist()
+    r = caching.managed(rows.select("doc_id", "s").join(
+        docs_c, "doc_id", "left_semi"))
     # set sizes only for candidate docs — counting over the full corpus
     # would shuffle every document's shingles for nothing
     n = r.groupBy("doc_id").agg(
@@ -266,38 +268,42 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     'xxhash64' is the fastest JVM path."""
     rows_per_band = n_hashes // bands
     sh_hash = "md5" if hash_mode == "md5lin" else "xxhash64"
-    # the flat shingle index feeds BOTH the signature agg and the verify
-    # joins — persist or Spark re-executes the whole lineage per branch
-    rows = shingle_id_rows(docs, text_col, id_col, k,
-                           hashed=sh_hash).persist()
-    wide = _minhash_wide(rows, n_hashes, hash_mode)
-    band_cols = [
-        F.concat_ws(",", *[
-            F.col(f"h{b * rows_per_band + j}").cast("string")
-            for j in range(rows_per_band)
-        ])
-        for b in range(bands)
-    ]
-    banded = wide.select(
-        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    with caching.scope() as (handles, is_owner):
+        # the flat shingle index feeds BOTH the signature agg and the
+        # verify joins — persist or Spark re-executes the lineage per
+        # branch; released by the first action on the returned pairs
+        rows = caching.managed(
+            shingle_id_rows(docs, text_col, id_col, k, hashed=sh_hash))
+        wide = _minhash_wide(rows, n_hashes, hash_mode)
+        band_cols = [
+            F.concat_ws(",", *[
+                F.col(f"h{b * rows_per_band + j}").cast("string")
+                for j in range(rows_per_band)
+            ])
+            for b in range(bands)
+        ]
+        banded = wide.select(
+            "doc_id",
+            F.posexplode(F.array(*band_cols)).alias("band", "bucket")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
-    return _jaccard_over_candidates(cand, rows).filter(
-        F.col("jaccard") >= threshold
-    )
+        out = _jaccard_over_candidates(cand, rows).filter(
+            F.col("jaccard") >= threshold
+        )
+        return caching.owned(out, handles, is_owner)
 
 
 _SIMHASH_OUT = T.StructType([

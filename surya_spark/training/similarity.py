@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans import caching
+
 
 def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Dot product. With `dim` given, expands to an explicit left-associated
@@ -159,9 +161,21 @@ def knn_ivf(vectors: DataFrame, centroids: DataFrame, k: int = 3,
     per-cluster pair work becomes |queries∩cluster| × cap)."""
     # one scored pass serves both sides (index = probe_rank 1, queries =
     # all probes); without persist Spark re-executes the assignment per
-    # branch (different projections → no exchange reuse) — measured 2×
-    probes = assign_clusters(vectors, centroids, id_col, vec_col,
-                             dim=dim, nprobe=nprobe).persist()
+    # branch (different projections → no exchange reuse) — measured 2×.
+    # caching.scope: the cache is released by the first action on the
+    # returned top-k (persist-lifecycle ownership, plans/caching.py).
+    with caching.scope() as (handles, is_owner):
+        return caching.owned(
+            _knn_ivf_body(vectors, centroids, k, id_col, vec_col, dim,
+                          nprobe, cluster_cap),
+            handles, is_owner)
+
+
+def _knn_ivf_body(vectors, centroids, k, id_col, vec_col, dim, nprobe,
+                  cluster_cap):
+    probes = caching.managed(
+        assign_clusters(vectors, centroids, id_col, vec_col,
+                        dim=dim, nprobe=nprobe))
     index = probes.filter(F.col("probe_rank") == 1)
     if cluster_cap is not None:
         w_cap = Window.partitionBy("cluster").orderBy(
@@ -302,8 +316,17 @@ def embedding_lsh_pairs(vectors: DataFrame, threshold: float = 0.8,
     # the 32×~50-term sign projection exceeds the 64 KB codegen method
     # limit (interpreted fallback) AND feeds both sides of the band
     # self-join — persist the tiny (id, bits) table so the expensive
-    # projection runs exactly once
-    bitted = vectors.select(F.col(id_col), *bit_cols).persist()
+    # projection runs exactly once; released on the result's first action
+    with caching.scope() as (handles, is_owner):
+        return caching.owned(
+            _embedding_lsh_body(vectors, threshold, bands, per_band,
+                                bit_cols, id_col, vec_col, dim),
+            handles, is_owner)
+
+
+def _embedding_lsh_body(vectors, threshold, bands, per_band, bit_cols,
+                        id_col, vec_col, dim):
+    bitted = caching.managed(vectors.select(F.col(id_col), *bit_cols))
     band_cols = [
         F.concat(*[F.col(f"b{b * per_band + j}") for j in range(per_band)])
         for b in range(bands)
@@ -323,8 +346,8 @@ def embedding_lsh_pairs(vectors: DataFrame, threshold: float = 0.8,
             F.col(f"b.{id_col}").alias("id_b"),
         )
         .distinct()
-        .persist()  # feeds both sides of the verify join
     )
+    cand = caching.managed(cand)  # feeds both sides of the verify join
     withn = with_norm(vectors.select(id_col, vec_col), vec_col, "_n", dim)
     va = withn.select(F.col(id_col).alias("id_a"),
                       F.col(vec_col).alias("va"), F.col("_n").alias("na"))
