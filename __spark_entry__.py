@@ -242,6 +242,104 @@ def q_clean_boxes(spark, sf_dir):
     ).select("page_id", "box_id")
 
 
+def q_quad_clean(spark, sf_dir):
+    """Quad-aware containment clean on SKEWED parallelogram quads (sheared
+    rectangles, integer corners): every third row also emits an inset
+    inner quad guaranteed cornerwise-contained in its outer — the quad
+    path must drop those while keeping diagonal slivers whose bboxes
+    would nest. Shoelace areas of integer corners are exact in double."""
+    from surya_spark.functions import geometry as G
+    from surya_spark.operators.detection import clean_contained_quads
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_orderkey") % 500) < 150)
+    base = li.select(
+        (F.col("l_orderkey") % 500).alias("page_id"),
+        (F.col("l_orderkey") * 10_000_000_000
+         + F.col("l_partkey") * 100_000
+         + F.col("l_suppkey") * 10
+         + F.col("l_linenumber")).alias("bid"),
+        ((F.col("l_partkey") * 7) % 800).cast("double").alias("x"),
+        ((F.col("l_suppkey") * 13) % 800).cast("double").alias("y"),
+        ((F.col("l_partkey") % 90) + 20).cast("double").alias("w"),
+        ((F.col("l_suppkey") % 60) + 20).cast("double").alias("h"),
+        ((F.col("l_linenumber") * 3) % 15).cast("double").alias("s"),
+        F.col("l_linenumber").alias("ln"),
+    ).dropDuplicates(["page_id", "bid"])
+
+    def quad(inset: float):
+        x, y, w, h, s = (F.col(c) for c in ("x", "y", "w", "h", "s"))
+        i = F.lit(float(inset))
+        return F.array(
+            F.array(x + s + i, y + i),
+            F.array(x + w + s - i, y + i),
+            F.array(x + w - i, y + h - i),
+            F.array(x + i, y + h - i),
+        )
+
+    outer = base.select(
+        F.col("page_id").alias("media_ref"),
+        (F.col("bid") * 2).alias("line_idx"),
+        quad(0).alias("polygon"))
+    inner = base.filter(F.col("ln") % 3 == 0).select(
+        F.col("page_id").alias("media_ref"),
+        (F.col("bid") * 2 + 1).alias("line_idx"),
+        quad(4).alias("polygon"))
+    quads = outer.unionByName(inner)
+    kept = clean_contained_quads(quads, key="media_ref",
+                                 id_col="line_idx")
+    return kept.select(
+        F.col("media_ref").cast("bigint").alias("page_id"),
+        F.col("line_idx").alias("quad_id"),
+        *[F.col("polygon")[i][j].alias(f"{'xy'[j]}{i}")
+          for i in range(4) for j in range(2)],
+        F.round(G.poly_area_shoelace(F.col("polygon")), 6).alias("area"),
+    )
+
+
+def q_heatmap_boxes(spark, sf_dir):
+    """CRAFT-style heatmap polygonization (functions/imageops.py) run as
+    a mapInPandas kernel over deterministic synthetic heatmaps — one
+    40x60 map per nation, three axis-aligned blobs with dyadic
+    intensities (k/32), so every pixel sum in the dynamic-threshold
+    top-10% mean is EXACT in double and the closed-form oracle replicates
+    thresholds, size/peak gates, 1-px dilation, and confidence
+    normalization bit-for-bit."""
+    import pandas as pd
+
+    n = _t(spark, sf_dir, "nation").select("n_nationkey")
+
+    def run(batches):
+        import numpy as np
+
+        from surya_spark.functions import imageops as I
+
+        for pdf in batches:
+            out = []
+            for nk in pdf["n_nationkey"]:
+                nk = int(nk)
+                m = np.zeros((40, 60))
+                for i in range(3):
+                    h = 4 + ((nk + i) % 3)
+                    x0 = 3 + ((nk * 7 + i * 11) % 10)
+                    w = 10 + ((nk * 5 + i * 3) % 20)
+                    y0 = 4 + i * 12
+                    v = 0.5 + ((nk + 2 * i) % 8) / 32.0
+                    m[y0:y0 + h, x0:x0 + w] = v
+                boxes, confs = I.detect_boxes_from_heatmap(m, 0.6, 0.3)
+                for box, conf in zip(boxes, confs):
+                    out.append((nk, float(box[0][0]), float(box[0][1]),
+                                float(box[2][0]), float(box[2][1]),
+                                round(float(conf), 6)))
+            yield pd.DataFrame(
+                out, columns=["page_id", "x1", "y1", "x2", "y2", "conf"])
+
+    return n.mapInPandas(
+        run,
+        schema="page_id int, x1 double, y1 double, x2 double, "
+               "y2 double, conf double")
+
+
 def q_overlap_pairs(spark, sf_dir):
     b = _boxes(spark, sf_dir).filter(F.col("page_id") < 100)
     a, bb = b.alias("a"), b.alias("b")
@@ -804,6 +902,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_tumbling": q_events_tumbling,
         "clean_boxes": q_clean_boxes,
+        "quad_clean": q_quad_clean,
+        "heatmap_boxes": q_heatmap_boxes,
         "overlap_pairs": q_overlap_pairs,
         "reading_order": q_reading_order,
         "merge_boxes_agg": q_merge_boxes_agg,
@@ -980,11 +1080,12 @@ def oracle_sql() -> dict[str, str]:
     # recomputes every document's 64-bit simhash from scratch
     # (md5_number_upper == int.from_bytes(md5[:8], 'little'), the token
     # hash the Spark UDF uses) and cross-joins, so the Spark side's
-    # pigeonhole segment blocking is verified to lose NO pairs
-    simhash_sql = """
+    # pigeonhole segment blocking is verified to lose NO pairs. Tokens use
+    # the shared normalize_text universe (same as minhash/ngram).
+    simhash_sql = f"""
         WITH toks AS (
           SELECT doc_id,
-                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                 unnest(list_filter(string_split_regex({_NORM_SQL}, '\\s+'),
                         x -> len(x) > 0)) AS tok
           FROM documents
         ),
@@ -1189,6 +1290,96 @@ def oracle_sql() -> dict[str, str]:
                 AND ((b.x2-b.x1)*(b.y2-b.y1) > (a.x2-a.x1)*(a.y2-a.y1)
                      OR ((b.x2-b.x1)*(b.y2-b.y1) = (a.x2-a.x1)*(a.y2-a.y1)
                          AND b.box_id < a.box_id)))
+        """,
+        # closed-form replica of detect_boxes_from_heatmap on the dyadic
+        # blob fixture: top-10% mean over 2400 px = sum of the highest 240
+        # pixel values (take blobs by value desc) / 240 — exact because
+        # blob values are k/32; thresholds, gates, 1-px dilation, and
+        # conf normalization all follow in plain arithmetic
+        "heatmap_boxes": """
+            WITH blobs AS (
+              SELECT n_nationkey AS page_id, i,
+                     4 + ((n_nationkey + i) % 3) AS h,
+                     3 + ((n_nationkey * 7 + i * 11) % 10) AS x0,
+                     10 + ((n_nationkey * 5 + i * 3) % 20) AS w,
+                     4 + i * 12 AS y0,
+                     0.5 + ((n_nationkey + 2 * i) % 8) / 32.0 AS v
+              FROM nation, range(0, 3) r(i)
+            ),
+            sized AS (
+              SELECT *, w * h AS area,
+                     sum(w * h) OVER (
+                       PARTITION BY page_id ORDER BY v DESC
+                       ROWS UNBOUNDED PRECEDING) - w * h AS cum_before
+              FROM blobs
+            ),
+            thr AS (
+              SELECT page_id,
+                     least(greatest(
+                       0.6 * pow(least(greatest(
+                         sum(greatest(least(CAST(area AS DOUBLE),
+                                            240.0 - cum_before), 0.0) * v)
+                           / 240.0 / 0.7, 0.0), 1.0), 0.5),
+                       0.15), 0.8) AS text_thr
+              FROM sized GROUP BY page_id
+            ),
+            passed AS (
+              SELECT b.page_id, b.x0, b.y0, b.w, b.h, b.v
+              FROM blobs b JOIN thr t ON b.page_id = t.page_id
+              WHERE NOT (b.v < t.text_thr)
+            )
+            SELECT page_id,
+                   CAST(x0 - 1 AS DOUBLE) AS x1,
+                   CAST(y0 - 1 AS DOUBLE) AS y1,
+                   CAST(x0 + w AS DOUBLE) AS x2,
+                   CAST(y0 + h AS DOUBLE) AS y2,
+                   round(v / max(v) OVER (PARTITION BY page_id), 6) AS conf
+            FROM passed
+        """,
+        # quad containment via the cornerwise predicate (8 comparisons) +
+        # shoelace area, mirroring G.poly_contains/poly_area_shoelace
+        "quad_clean": """
+            WITH base AS (
+              SELECT DISTINCT l_orderkey % 500 AS page_id,
+                     l_orderkey * 10000000000 + l_partkey * 100000
+                       + l_suppkey * 10 + l_linenumber AS bid,
+                     CAST((l_partkey * 7) % 800 AS DOUBLE) AS x,
+                     CAST((l_suppkey * 13) % 800 AS DOUBLE) AS y,
+                     CAST((l_partkey % 90) + 20 AS DOUBLE) AS w,
+                     CAST((l_suppkey % 60) + 20 AS DOUBLE) AS h,
+                     CAST((l_linenumber * 3) % 15 AS DOUBLE) AS s,
+                     l_linenumber AS ln
+              FROM lineitem WHERE l_orderkey % 500 < 150
+            ),
+            quads AS (
+              SELECT page_id, bid * 2 AS quad_id,
+                     x + s AS x0, y AS y0, x + w + s AS x1, y AS y1,
+                     x + w AS x2, y + h AS y2, x AS x3, y + h AS y3
+              FROM base
+              UNION ALL
+              SELECT page_id, bid * 2 + 1,
+                     x + s + 4, y + 4, x + w + s - 4, y + 4,
+                     x + w - 4, y + h - 4, x + 4, y + h - 4
+              FROM base WHERE ln % 3 = 0
+            ),
+            areas AS (
+              SELECT *, abs(x0*y1 - x1*y0 + x1*y2 - x2*y1
+                             + x2*y3 - x3*y2 + x3*y0 - x0*y3) / 2 AS area
+              FROM quads
+            )
+            SELECT a.page_id, a.quad_id,
+                   a.x0, a.y0, a.x1, a.y1, a.x2, a.y2, a.x3, a.y3,
+                   round(a.area, 6) AS area
+            FROM areas a
+            WHERE a.area > 0 AND NOT EXISTS (
+              SELECT 1 FROM areas b
+              WHERE b.page_id = a.page_id AND b.quad_id <> a.quad_id
+                AND a.x0 >= b.x0 AND a.y0 >= b.y0
+                AND a.x1 <= b.x1 AND a.y1 >= b.y1
+                AND a.x2 <= b.x2 AND a.y2 <= b.y2
+                AND a.x3 >= b.x3 AND a.y3 <= b.y3
+                AND (b.area > a.area
+                     OR (b.area = a.area AND b.quad_id < a.quad_id)))
         """,
         "overlap_pairs": f"""
             WITH boxes AS ({_BOXES_SQL})

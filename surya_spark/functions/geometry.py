@@ -287,6 +287,43 @@ def poly_area_shoelace(poly: Column) -> Column:
     return F.abs(s) / 2.0
 
 
+def poly_contains(pa: Column, pb: Column) -> Column:
+    """pb fully inside pa under the reference's cornerwise quad semantics:
+    intersection_polygon(pa, pb) == pb (ref surya/common/polygon.py:115-140).
+    For axis-aligned quads this reduces to bbox containment; for skewed
+    minAreaRect quads (ref surya/detection/heatmap.py:83-103) it keeps
+    corner accuracy the bbox form loses — two diagonal slivers whose
+    bboxes nest are NOT cornerwise contained."""
+    return (
+        (pb[0][0] >= pa[0][0]) & (pb[0][1] >= pa[0][1])
+        & (pb[1][0] <= pa[1][0]) & (pb[1][1] >= pa[1][1])
+        & (pb[2][0] <= pa[2][0]) & (pb[2][1] <= pa[2][1])
+        & (pb[3][0] >= pa[3][0]) & (pb[3][1] <= pa[3][1])
+    )
+
+
+def poly_valid(p: Column) -> Column:
+    """Cornerwise-ordered quad sanity: left corners left of right corners,
+    top corners above bottom corners. intersect_poly of disjoint quads
+    violates this — gate shoelace areas on it."""
+    return (
+        (p[0][0] <= p[1][0]) & (p[3][0] <= p[2][0])
+        & (p[0][1] <= p[3][1]) & (p[1][1] <= p[2][1])
+    )
+
+
+def poly_overlap_pct(pa: Column, pb: Column) -> Column:
+    """Fraction of pb covered by pa under cornerwise intersection +
+    shoelace area — the corner-accurate analog of intersection_pct
+    (ref surya/common/polygon.py:161-173, which uses bbox overlap)."""
+    inter = intersect_poly(pa, pb)
+    area_b = poly_area_shoelace(pb)
+    return F.when(
+        poly_valid(inter) & (area_b > 0),
+        poly_area_shoelace(inter) / area_b,
+    ).otherwise(F.lit(0.0))
+
+
 def intersect_bbox(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2) -> list[Column]:
     """Axis-aligned intersection (cornerwise max/min) — used for the table
     cell = row ∩ col grid. Ref: surya/common/polygon.py:115-140."""

@@ -168,6 +168,39 @@ def clean_contained_boxes(lines: DataFrame) -> DataFrame:
     )
 
 
+def clean_contained_quads(lines: DataFrame,
+                          poly_col: str = "polygon",
+                          key: str = "media_ref",
+                          id_col: str = "line_idx") -> DataFrame:
+    """Quad-aware variant of clean_contained_boxes: containment and area
+    use the CORNERWISE quad predicates (G.poly_contains +
+    G.poly_area_shoelace) instead of bbox reductions, so skewed
+    minAreaRect quads from rotated text (ref
+    surya/detection/heatmap.py:83-103) keep corner accuracy — two
+    diagonal slivers whose bboxes nest are not dropped here.
+
+    Same physical shape as the bbox form: equi anti-join on the page key
+    with the containment theta refinement, shuffle-hash build (the build
+    side derives from the corpus). Shoelace areas of integer-cornered
+    quads are exact in double, so the operator is oracle-replicable."""
+    a, b = lines.alias("a"), lines.alias("b")
+    pa, pb = F.col(f"b.{poly_col}"), F.col(f"a.{poly_col}")
+    area_a = G.poly_area_shoelace(pb)
+    area_b = G.poly_area_shoelace(pa)
+    contained = (
+        (F.col(f"a.{key}") == F.col(f"b.{key}"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        & G.poly_contains(pa, pb)
+        & (
+            (area_b > area_a)
+            | ((area_b == area_a)
+               & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")))
+        )
+    )
+    kept = a.join(b.hint("shuffle_hash"), on=contained, how="left_anti")
+    return kept.filter(G.poly_area_shoelace(F.col(poly_col)) > 0)
+
+
 def clean_contained_boxes_kernel(lines: DataFrame,
                                  key: str = "media_ref",
                                  id_col: str = "line_idx") -> DataFrame:

@@ -317,9 +317,18 @@ def simhash(docs: DataFrame, text_col: str = "text",
     """64-bit SimHash per document via an Arrow-vectorized pandas iterator —
     the per-token ±1 bit voting is genuinely numpy territory. Near-dup pairs
     = small Hamming distance; pair generation uses 4-segment blocking
-    (pigeonhole: dist ≤ 3 → at least one identical 16-bit segment)."""
+    (pigeonhole: dist ≤ 3 → at least one identical 16-bit segment).
+
+    Tokens come from the SAME normalize_text universe as
+    shingle_id_rows/minhash (HTML/math stripped, bullets standardized,
+    whitespace collapsed, lowercased) — one documented normalization for
+    every dedup operator. Normalization runs as JVM column expressions
+    BEFORE the Arrow boundary, so the Python kernel only splits."""
 
     import hashlib
+
+    docs = docs.select(
+        F.col(id_col), TX.normalize_text(F.col(text_col)).alias(text_col))
 
     def _tok_hash(t: str) -> int:
         # process-independent 64-bit token hash (python hash() varies by

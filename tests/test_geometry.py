@@ -197,3 +197,40 @@ def test_poly_area_shoelace(spark):
     ).collect()[0]
     assert row["a"] == 50.0
     assert row["b"] == 50.0  # bbox area would be 13*5 = 65 — over-counted
+
+
+def test_quad_clean_keeps_slivers_bbox_clean_drops(spark):
+    """Rotated-text fixture where the quad and bbox predicates DISAGREE:
+    a small box near the top-left of a sheared parallelogram's bounding
+    box lies OUTSIDE the parallelogram itself — bbox containment wrongly
+    drops it, cornerwise quad containment keeps it. A genuinely inset
+    quad is dropped by both."""
+    from surya_spark.operators.detection import (
+        clean_contained_boxes, clean_contained_quads)
+
+    def poly(*corners):
+        return [[float(x), float(y)] for x, y in corners]
+
+    rows = [
+        # A: sheared parallelogram, bbox [0,0,120,100], shoelace area 10000
+        ("p1", 0, poly((20, 0), (120, 0), (100, 100), (0, 100))),
+        # B: small box inside A's BBOX but outside the parallelogram
+        ("p1", 1, poly((2, 60), (12, 60), (12, 70), (2, 70))),
+        # C: inset quad cornerwise-contained in A (dropped by both paths)
+        ("p1", 2, poly((30, 10), (110, 10), (92, 90), (12, 90))),
+    ]
+    quads = spark.createDataFrame(
+        rows, "media_ref string, line_idx int, "
+              "polygon array<array<double>>")
+
+    kept_quad = sorted(
+        r["line_idx"]
+        for r in clean_contained_quads(quads).select("line_idx").collect())
+    assert kept_quad == [0, 1]
+
+    bboxes = quads.select(
+        "media_ref", "line_idx", *G.poly_bbox(F.col("polygon")))
+    kept_bbox = sorted(
+        r["line_idx"]
+        for r in clean_contained_boxes(bboxes).select("line_idx").collect())
+    assert kept_bbox == [0]  # bbox reduction loses the sliver

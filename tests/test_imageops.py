@@ -1,0 +1,192 @@
+"""Pure-numpy §2.7 pixel kernels validated against independent
+brute-force implementations and closed forms — no Spark session needed."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from surya_spark.functions import imageops as I
+
+
+def _flood_labels(mask, connectivity):
+    """Independent brute-force CC labeling (BFS flood fill)."""
+    h, w = mask.shape
+    labels = np.zeros((h, w), dtype=int)
+    if connectivity == 4:
+        nbrs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    else:
+        nbrs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                if (dy, dx) != (0, 0)]
+    nxt = 0
+    for sy in range(h):
+        for sx in range(w):
+            if not mask[sy, sx] or labels[sy, sx]:
+                continue
+            nxt += 1
+            stack = [(sy, sx)]
+            labels[sy, sx] = nxt
+            while stack:
+                y, x = stack.pop()
+                for dy, dx in nbrs:
+                    ny, nx_ = y + dy, x + dx
+                    if (0 <= ny < h and 0 <= nx_ < w and mask[ny, nx_]
+                            and not labels[ny, nx_]):
+                        labels[ny, nx_] = nxt
+                        stack.append((ny, nx_))
+    return nxt, labels
+
+
+@pytest.mark.parametrize("connectivity", [4, 8])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_connected_components_vs_flood_fill(connectivity, seed):
+    rng = np.random.RandomState(seed)
+    mask = rng.rand(40, 55) < 0.35
+    n, labels = I.connected_components(mask, connectivity)
+    n_ref, ref = _flood_labels(mask, connectivity)
+    assert n == n_ref
+    # same partition: label images equal up to renaming
+    pairs = set(zip(labels.ravel().tolist(), ref.ravel().tolist()))
+    assert len(pairs) == n + 1  # bijection incl. background
+    assert {a == 0 for a, b in pairs} == {b == 0 for a, b in pairs}
+
+
+def test_component_stats_brute_force():
+    rng = np.random.RandomState(7)
+    mask = rng.rand(30, 30) < 0.3
+    n, labels = I.connected_components(mask, 4)
+    stats = I.component_stats(labels, n)
+    for k in range(1, n + 1):
+        ys, xs = np.nonzero(labels == k)
+        assert tuple(stats[k - 1]) == (
+            xs.min(), ys.min(), xs.max() - xs.min() + 1,
+            ys.max() - ys.min() + 1, len(xs))
+
+
+def test_min_area_rect_rotated_and_axis():
+    # axis-aligned points -> their bbox, clockwise from top-left
+    pts = np.array([[2, 3], [9, 3], [9, 7], [2, 7], [5, 5]], dtype=float)
+    box = I.min_area_rect(pts)
+    assert np.allclose(box, [[2, 3], [9, 3], [9, 7], [2, 7]])
+    # 3-4-5 rotated rectangle: corners known, area must be 12 (not the
+    # bbox's 5x5=25)
+    rect = np.array([[0, 3], [4, 0], [7, 4], [3, 7]], dtype=float)
+    box = I.min_area_rect(rect)
+    e1 = np.linalg.norm(box[0] - box[1])
+    e2 = np.linalg.norm(box[1] - box[2])
+    assert abs(e1 * e2 - 25.0) < 1e-9  # 5x5 rotated square encloses it
+    # hull of the 4 corners themselves is the min rect
+    got = {tuple(np.round(c, 6)) for c in box}
+    want = {(0.0, 3.0), (4.0, 0.0), (7.0, 4.0), (3.0, 7.0)}
+    assert got == want
+
+
+def test_binary_dilate_rectangle_closed_form():
+    m = np.zeros((20, 20), dtype=bool)
+    m[5:9, 6:11] = True
+    out = I.binary_dilate(m, 3)  # odd kernel: 1 px each side
+    ys, xs = np.nonzero(out)
+    assert (ys.min(), ys.max(), xs.min(), xs.max()) == (4, 9, 5, 11)
+    out4 = I.binary_dilate(m, 4)  # even kernel: 2 up/left, 1 down/right
+    ys, xs = np.nonzero(out4)
+    assert (ys.min(), ys.max(), xs.min(), xs.max()) == (3, 9, 4, 11)
+
+
+def test_dynamic_thresholds_closed_form():
+    # 100 px map: 90 at 0.0, 10 at 0.9 -> top-10% mean = 0.9
+    m = np.zeros((10, 10))
+    m.ravel()[:10] = 0.9
+    tt, lt = I.dynamic_thresholds(m, 0.6, 0.3, typical_top10_avg=0.9)
+    assert (tt, lt) == (0.6, 0.3)  # scale exactly 1
+    tt2, lt2 = I.dynamic_thresholds(m * 0.5, 0.6, 0.3,
+                                    typical_top10_avg=0.9)
+    s = math.sqrt(0.5)
+    assert abs(tt2 - 0.6 * s) < 1e-12 and abs(lt2 - 0.3 * s) < 1e-12
+
+
+def test_detect_boxes_from_heatmap_two_blobs():
+    m = np.zeros((60, 80))
+    m[10:16, 10:30] = 0.8   # blob A: 6x20
+    m[40:46, 20:50] = 0.6   # blob B: 6x30
+    boxes, confs = I.detect_boxes_from_heatmap(m, 0.5, 0.3)
+    assert len(boxes) == 2
+    # niter = int(sqrt(6)) = 2, ksize = 3 -> dilate 1 px each side
+    a = boxes[0]
+    assert np.allclose(a, [[9, 9], [30, 9], [30, 16], [9, 16]])
+    b = boxes[1]
+    assert np.allclose(b, [[19, 39], [50, 39], [50, 46], [19, 46]])
+    assert confs == [1.0, pytest.approx(0.75)]  # normalized by page max
+
+
+def test_bilinear_resize_exact_on_ramp():
+    # bilinear interpolation reproduces affine functions exactly away
+    # from clamped borders
+    h, w = 20, 30
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = 2.0 * xx + 3.0 * yy + 1.0
+    out = I.bilinear_resize(img, 40, 60)
+    yo = (np.arange(40) + 0.5) * 0.5 - 0.5
+    xo = (np.arange(60) + 0.5) * 0.5 - 0.5
+    expect = 2.0 * xo[None, :] + 3.0 * yo[:, None] + 1.0
+    assert np.allclose(out[1:-1, 1:-1], expect[1:-1, 1:-1])
+    assert I.double_resize(img).shape == (40, 60)
+
+
+def test_sobel_and_vertical_edge_map():
+    img = np.zeros((40, 40))
+    img[:, 20:] = 1.0  # vertical step at x=20
+    s = I.sobel(img, vertical=True)
+    assert abs(s[:, 19:21]).min() == 4.0  # full Sobel response at edge
+    assert abs(s[:, :18]).max() == 0.0
+    v = I.vertical_edge_map(img, k=20)
+    assert v[:, 19:21].max() == 255.0
+
+
+def test_canny_vertical_edge():
+    img = np.zeros((30, 30))
+    img[:, 15:] = 255.0
+    e = I.canny(img, low=150, high=200)
+    assert e[:, 14:16].any()
+    assert not e[:, :12].any() and not e[:, 19:].any()
+
+
+def test_extract_axis_segments_gap_merge():
+    e = np.zeros((50, 10), dtype=bool)
+    e[5:15, 3] = True
+    e[18:30, 3] = True  # 3-px gap -> merged when max_gap >= 3
+    e[2:4, 7] = True    # too short
+    segs = I.extract_axis_segments(e, vertical=True, min_length=10,
+                                   max_gap=5)
+    assert segs == [[3.0, 5.0, 3.0, 29.0]]
+    segs2 = I.extract_axis_segments(e, vertical=True, min_length=10,
+                                    max_gap=2)
+    assert segs2 == [[3.0, 5.0, 3.0, 14.0], [3.0, 18.0, 3.0, 29.0]]
+    hs = I.extract_axis_segments(e.T, vertical=False, min_length=10,
+                                 max_gap=5)
+    assert hs == [[5.0, 3.0, 29.0, 3.0]]
+
+
+def test_scale_to_fit_and_normalize_and_tile():
+    # over budget: floor(sqrt) shrink — ref formula
+    assert I.scale_to_fit_dims(1000, 1000, (500, 500)) == (500, 500)
+    h, w = I.scale_to_fit_dims(2000, 1000, (500, 500))
+    f = (250000 / 2000000) ** 0.5
+    assert (h, w) == (math.floor(2000 * f), math.floor(1000 * f))
+    # under minimum: ceil growth
+    h, w = I.scale_to_fit_dims(100, 100, (500, 500), (168, 168))
+    f = (168 * 168 / 10000) ** 0.5
+    assert (h, w) == (math.ceil(100 * f), math.ceil(100 * f))
+    # identity inside the band
+    assert I.scale_to_fit_dims(200, 200, (500, 500)) == (200, 200)
+
+    img = np.full((4, 4, 3), 255.0)
+    norm = I.normalize_image(img, mean=[0.5, 0.5, 0.5], std=[0.5, 0.5, 0.5])
+    assert np.allclose(norm, 1.0)
+
+    img = np.arange(28 * 28 * 3, dtype=float).reshape(28, 28, 3)
+    tiles, (c, gh, gw) = I.patch_tile(img, patch_size=14, merge_size=2)
+    assert (c, gh, gw) == (3, 2, 2) and tiles.shape == (4, 3, 14, 14)
+    # content preserved: tile (0,0) equals the top-left patch
+    assert np.allclose(tiles[0, 0], img[:14, :14, 0])
