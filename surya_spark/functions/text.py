@@ -46,10 +46,20 @@ def normalize_text(text: Column) -> Column:
 
 
 def detect_repeat_token(tokens: Column, window: int = 40) -> Column:
-    """True when the trailing `window` tokens are 1–2 distinct values —
-    a degenerate decode loop. Ref: surya/recognition/util.py:59-69."""
+    """True when decoding has degenerated into a short loop: the trailing
+    `window` tokens hold ≤5 distinct values AND the final distinct-count
+    run exactly repeats the run before it — the reference's periodicity
+    rule, not just low diversity. Ref: surya/recognition/util.py:59-69."""
     tail = F.slice(tokens, -window, window)
-    return (F.size(tokens) >= window) & (F.size(F.array_distinct(tail)) <= 2)
+    u = F.size(F.array_distinct(tail))
+    # slice() rejects start=0, and the guards below don't short-circuit
+    # expression evaluation — clamp u for the empty-array case
+    us = F.greatest(u, F.lit(1))
+    return (
+        (F.size(tokens) >= window)
+        & (u <= 5)
+        & (F.slice(tail, -us, us) == F.slice(tail, -2 * us, us))
+    )
 
 
 # ----------------------------------------------------- corpus text analysis

@@ -35,10 +35,74 @@ _DETECT_OUT = T.StructType(
 )
 
 
+def _postprocess_page(rows: list[dict], page_w: int, page_h: int,
+                      y_pct: float = 0.05) -> list[dict]:
+    """Fused per-page post-processing: containment clean + 5% y-expand
+    clamped to the page + max-confidence normalization — numerically
+    identical to clean_contained_boxes → expand_and_normalize, but run
+    where the page's rows already sit (inside the detect UDF), so the
+    anti-join and window shuffles disappear from the flagship plan.
+    (Round-3 measurement: the shuffle-hash anti-join, required once the
+    driver broadcast was banned, cost ~2 line-table shuffles per run;
+    per-page work belongs in the page-grain kernel.)"""
+    import numpy as np
+
+    if not rows:
+        return rows
+    x1 = np.array([r["x1"] for r in rows], dtype=float)
+    y1 = np.array([r["y1"] for r in rows], dtype=float)
+    x2 = np.array([r["x2"] for r in rows], dtype=float)
+    y2 = np.array([r["y2"] for r in rows], dtype=float)
+    ids = np.array([r["line_idx"] for r in rows])
+    area = (x2 - x1) * (y2 - y1)
+    contains = (
+        (x1[:, None] <= x1[None, :]) & (y1[:, None] <= y1[None, :])
+        & (x2[:, None] >= x2[None, :]) & (y2[:, None] >= y2[None, :])
+        & (ids[:, None] != ids[None, :])
+        & (
+            (area[:, None] > area[None, :])
+            | ((area[:, None] == area[None, :])
+               & (ids[:, None] < ids[None, :]))
+        )
+    )
+    keep = ~(contains.any(axis=0) | (area <= 0))
+    # vertical boxes (height >= 3x width) skip the expand, per reference
+    vertical = (y2 - y1) >= 3 * (x2 - x1)
+    dy = np.where(vertical, 0.0, (y2 - y1) * y_pct)
+    ey1 = np.where(vertical, y1,
+                   np.minimum(np.maximum(y1 - dy, 0.0), float(page_h)))
+    ey2 = np.where(vertical, y2,
+                   np.minimum(np.maximum(y2 + dy, 0.0), float(page_h)))
+    ex1 = np.where(vertical, x1,
+                   np.minimum(np.maximum(x1, 0.0), float(page_w)))
+    ex2 = np.where(vertical, x2,
+                   np.minimum(np.maximum(x2, 0.0), float(page_w)))
+    conf = np.array([r["confidence"] for r in rows], dtype=float)
+    cmax = conf[keep].max() if keep.any() else 1.0
+    out = []
+    for i, r in enumerate(rows):
+        if not keep[i]:
+            continue
+        out.append({
+            **r,
+            "x1": float(ex1[i]), "y1": float(ey1[i]),
+            "x2": float(ex2[i]), "y2": float(ey2[i]),
+            "polygon": [[float(ex1[i]), float(ey1[i])],
+                        [float(ex2[i]), float(ey1[i])],
+                        [float(ex2[i]), float(ey2[i])],
+                        [float(ex1[i]), float(ey2[i])]],
+            "confidence": float(conf[i] / cmax),
+        })
+    return out
+
+
 def detect_lines(pages: DataFrame,
-                 slot: Callable = slots.surrogate_detect) -> DataFrame:
-    """page_blobs → raw detected lines (noisy, unordered, may contain
-    duplicates). One Arrow batch of pages in, exploded lines out."""
+                 slot: Callable = slots.surrogate_detect,
+                 postprocess: bool = False) -> DataFrame:
+    """page_blobs → detected lines (noisy, unordered, may contain
+    duplicates). One Arrow batch of pages in, exploded lines out.
+    postprocess=True fuses clean/expand/normalize per page in-UDF
+    (_postprocess_page)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -46,17 +110,21 @@ def detect_lines(pages: DataFrame,
             for ref, w, h, blob in zip(
                 pdf["media_ref"], pdf["width"], pdf["height"], pdf["img_bytes"]
             ):
+                page_rows = []
                 for i, d in enumerate(slot(ref, int(w), int(h), bytes(blob))):
                     poly = d["polygon"]
                     xs = [p[0] for p in poly]
                     ys = [p[1] for p in poly]
-                    rows.append({
+                    page_rows.append({
                         "media_ref": ref, "line_idx": i, "polygon": poly,
                         "x1": min(xs), "y1": min(ys),
                         "x2": max(xs), "y2": max(ys),
                         "confidence": d["confidence"],
                         "page_width": int(w), "page_height": int(h),
                     })
+                if postprocess:
+                    page_rows = _postprocess_page(page_rows, int(w), int(h))
+                rows.extend(page_rows)
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {f.name: pd.Series([], dtype=object) for f in _DETECT_OUT})
 
@@ -65,7 +133,8 @@ def detect_lines(pages: DataFrame,
 
 def split_detect_lines(pages: DataFrame,
                        slot: Callable = slots.surrogate_detect,
-                       chunk_px: int = 1400) -> DataFrame:
+                       chunk_px: int = 1400,
+                       postprocess: bool = False) -> DataFrame:
     """Chunked detection for tall pages: explode each page into ≤chunk_px
     vertical slices, run the detector per slice, shift results back and
     re-stitch — the reference's vertical split + heatmap stitch
@@ -90,6 +159,7 @@ def split_detect_lines(pages: DataFrame,
                 pdf["media_ref"], pdf["width"], pdf["height"], pdf["img_bytes"]
             ):
                 desc = decode_page(bytes(blob))
+                page_rows = []
                 n_chunks = max(1, math.ceil(int(h) / chunk_px))
                 for ci in range(n_chunks):
                     y0 = ci * chunk_px
@@ -112,7 +182,7 @@ def split_detect_lines(pages: DataFrame,
                         poly = [[p[0], p[1] + y0] for p in d["polygon"]]
                         xs = [p[0] for p in poly]
                         ys = [p[1] for p in poly]
-                        rows.append({
+                        page_rows.append({
                             "media_ref": ref,
                             "line_idx": ci * 100_000 + i,
                             "polygon": poly,
@@ -121,10 +191,24 @@ def split_detect_lines(pages: DataFrame,
                             "confidence": d["confidence"],
                             "page_width": int(w), "page_height": int(h),
                         })
+                if postprocess:
+                    # all chunks of the page are in hand — dense re-key
+                    # THEN the cross-chunk containment clean run here,
+                    # replacing the stitched relational form (window
+                    # re-key → anti-join) with zero shuffles; kept rows
+                    # carry their pre-clean dense ids exactly like the
+                    # relational path
+                    page_rows.sort(key=lambda r: r["line_idx"])
+                    for j, r in enumerate(page_rows):
+                        r["line_idx"] = j
+                    page_rows = _postprocess_page(page_rows, int(w), int(h))
+                rows.extend(page_rows)
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {f.name: pd.Series([], dtype=object) for f in _DETECT_OUT})
 
     raw = pages.mapInPandas(run, schema=_DETECT_OUT)
+    if postprocess:
+        return raw  # dense re-key already done in-UDF
     # re-key line_idx densely per page (chunk-offset ids → 0..n-1)
     from pyspark.sql import Window
 
@@ -241,18 +325,29 @@ def clean_contained_boxes_kernel(lines: DataFrame,
 
 
 def expand_and_normalize(lines: DataFrame, y_pct: float = 0.05) -> DataFrame:
-    """5% vertical expansion clamped to the page
-    (/root/reference/surya/detection/heatmap.py:169-175) and per-page
+    """5% vertical expansion clamped to the page — skipped for vertical
+    boxes (height ≥ 3×width), matching the reference
+    (/root/reference/surya/detection/heatmap.py:170-176) — and per-page
     max-confidence normalization
-    (/root/reference/surya/detection/heatmap.py:100-107) via a window."""
+    (/root/reference/surya/detection/heatmap.py:100-107) via a window.
+
+    All four coordinates are replaced in ONE withColumns: sequential
+    withColumn calls would resolve the y2 expression against the
+    already-expanded y1 and double-expand the bottom edge (round-3 bug,
+    caught by the fused-path equivalence test)."""
     ex = G.expand_bbox(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"),
                        x_pct=0.0, y_pct=y_pct)
     cl = G.clamp_bbox(ex[0], ex[1], ex[2], ex[3],
                       F.col("page_width"), F.col("page_height"))
+    vertical = (F.col("y2") - F.col("y1")) >= 3 * (F.col("x2") - F.col("x1"))
     w = Window.partitionBy("media_ref")
     return (
-        lines.withColumn("x1", cl[0]).withColumn("y1", cl[1])
-        .withColumn("x2", cl[2]).withColumn("y2", cl[3])
+        lines.withColumns({
+            "x1": F.when(vertical, F.col("x1")).otherwise(cl[0]),
+            "y1": F.when(vertical, F.col("y1")).otherwise(cl[1]),
+            "x2": F.when(vertical, F.col("x2")).otherwise(cl[2]),
+            "y2": F.when(vertical, F.col("y2")).otherwise(cl[3]),
+        })
         .withColumn(
             "confidence",
             F.col("confidence") / F.max("confidence").over(w),
@@ -267,10 +362,21 @@ def expand_and_normalize(lines: DataFrame, y_pct: float = 0.05) -> DataFrame:
 def detection_stage(pages: DataFrame,
                     slot: Callable = slots.surrogate_detect,
                     chunked: bool = False,
-                    chunk_px: int = 1400) -> DataFrame:
+                    chunk_px: int = 1400,
+                    fused: bool = True) -> DataFrame:
     """Full detection stage: infer → clean → expand/normalize.
     chunked=True routes through the vertical split/stitch path (bounded
-    activation memory for tall pages)."""
+    activation memory for tall pages).
+
+    fused=True (default) runs the per-page post-processing inside the
+    detect UDF — zero extra shuffles; fused=False keeps the relational
+    anti-join + window form (same output, pytest-pinned equivalent),
+    useful when lines come from a source other than the detect slot."""
+    if fused:
+        return (
+            split_detect_lines(pages, slot, chunk_px, postprocess=True)
+            if chunked else detect_lines(pages, slot, postprocess=True)
+        )
     detect = (
         split_detect_lines(pages, slot, chunk_px) if chunked
         else detect_lines(pages, slot)

@@ -141,7 +141,9 @@ _OCR_OUT = T.StructType([
 def recognize(crops: DataFrame,
               slot: Callable = slots.surrogate_recognize,
               task: str = "ocr_with_boxes",
-              emit_chars: bool = True) -> DataFrame:
+              emit_chars: bool = True,
+              batch_slot: Callable | None = None,
+              micro_batch: int = 64) -> DataFrame:
     """crop blobs → ocr_lines. Width-descending sort within partitions
     mirrors the reference's batch admission order
     (/root/reference/surya/recognition/__init__.py:847-854) — a physical
@@ -155,7 +157,18 @@ def recognize(crops: DataFrame,
     prune the output column but not the Python work that builds it, and
     char structs are ~20× the rows of lines (measured: the single biggest
     cost of the whole pipeline at sf-scale). Callers that don't consume
-    chars (the span-assembly flagship) must pass False."""
+    chars (the span-assembly flagship) must pass False.
+
+    batch_slot: continuous-batching analog for GPU recognizers (ref
+    recognition/__init__.py:501-607). When set, the UDF feeds the slot
+    micro_batch-sized slices of the width-DESCENDING row stream —
+    same-width crops decode together, so a padded-tensor recognizer
+    wastes minimal padding, and each finished micro-batch immediately
+    admits the next-widest crops (the reference's admission policy; the
+    in-flight sequence replacement it adds on top only matters for a
+    shared KV cache, which per-batch decoding doesn't keep). Signature:
+    batch_slot(blobs: list[bytes], tasks: list[str]) -> list[dict], one
+    result dict per input in order."""
     sorted_crops = crops.sortWithinPartitions((F.col("x2") - F.col("x1")).desc())
     has_task_col = "task" in crops.columns
 
@@ -168,12 +181,24 @@ def recognize(crops: DataFrame,
             tasks = pdf["task"] if has_task_col else [task] * n
             rxs = pdf["res_x"] if has_res else [1.0] * n
             rys = pdf["res_y"] if has_res else [1.0] * n
-            for ref, li, pos, x1, y1, x2, y2, blob, tk, rx, ry in zip(
-                pdf["media_ref"], pdf["line_idx"], pdf["position"],
-                pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"],
-                pdf["crop_bytes"], tasks, rxs, rys,
-            ):
-                r = slot(bytes(blob), tk)
+            if batch_slot is not None:
+                blobs = [bytes(b) for b in pdf["crop_bytes"]]
+                tlist = list(tasks)
+                results: list[dict] = []
+                for s in range(0, n, micro_batch):
+                    results.extend(
+                        batch_slot(blobs[s:s + micro_batch],
+                                   tlist[s:s + micro_batch]))
+            else:
+                results = None
+            for i, (ref, li, pos, x1, y1, x2, y2, blob, tk, rx, ry) in \
+                    enumerate(zip(
+                        pdf["media_ref"], pdf["line_idx"], pdf["position"],
+                        pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"],
+                        pdf["crop_bytes"], tasks, rxs, rys,
+                    )):
+                r = results[i] if results is not None else slot(
+                    bytes(blob), tk)
                 rx, ry = float(rx), float(ry)
                 # rescale chars from (possibly highres) crop space by
                 # res_scales, shift into page coords, clamp to the line bbox

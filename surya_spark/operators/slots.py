@@ -130,6 +130,17 @@ def surrogate_recognize(crop_bytes: bytes,
     return {"text": text, "chars": chars, "confidence": conf}
 
 
+def surrogate_recognize_batch(blobs: list[bytes],
+                              tasks: list[str]) -> list[dict]:
+    """Batch-signature recognizer for the continuous-batching path
+    (recognition.recognize(batch_slot=...)): one result per input, in
+    order. A GPU deployment replaces the loop with a single padded-tensor
+    forward pass over the (width-sorted) micro-batch — the padding waste
+    bound is what the width-descending admission buys
+    (ref /root/reference/surya/recognition/__init__.py:501-607)."""
+    return [surrogate_recognize(b, t) for b, t in zip(blobs, tasks)]
+
+
 # --------------------------------------------------------------------- layout
 def surrogate_layout(media_ref: str, width: int, height: int,
                      img_bytes: bytes) -> list[dict]:

@@ -27,9 +27,21 @@ from .plans import caching, partitioning
 
 
 def pages_for(documents: DataFrame, page_blobs: DataFrame,
-              pack_partitions: int | None = None) -> DataFrame:
+              pack_partitions: int | None = None,
+              partitions: int | None = None) -> DataFrame:
     """Media spans joined to their blobs. media_ref is unique per page, so
-    this is a plain equi-join; blobs are the big side and stay put.
+    this is a plain equi-join; blobs are the big side.
+
+    The semi-join build side derives from the full documents table —
+    corpus-sized, so a driver-side broadcast build grows with the corpus
+    (BENCH.md rule 7); shuffle_hash keeps it distributed. With
+    `partitions` set, BOTH inputs are explicitly hash-partitioned on
+    media_ref first, so the join consumes that single exchange and its
+    output is already media_ref-partitioned for every downstream
+    media_ref join — the blob payload (the big bytes) crosses the wire
+    exactly once. (Round-3 measurement: the naive shuffle_hash fix
+    shuffled blobs twice — once for the join, once for the downstream
+    repartition — costing 28% at 8 cores on 64k docs.)
 
     With pack_partitions set, pages are range-packed by split cost
     (ceil(height/1400)) so inference tasks see uniform weight — the Spark
@@ -39,9 +51,9 @@ def pages_for(documents: DataFrame, page_blobs: DataFrame,
         .filter(F.col("kind").isin("page", "table"))
         .select("media_ref")
     )
-    # refs derives from the full documents table — corpus-sized, so a
-    # driver-side broadcast build grows with the corpus (BENCH.md rule 7).
-    # shuffle_hash keeps the semi-join build distributed.
+    if partitions:
+        page_blobs = page_blobs.repartition(partitions, F.col("media_ref"))
+        refs = refs.repartition(partitions, F.col("media_ref"))
     pages = page_blobs.join(refs.hint("shuffle_hash"), "media_ref",
                             "left_semi")
     if pack_partitions:
@@ -83,10 +95,13 @@ def extract(
     # released by the first action on the returned spans — no
     # InMemoryRelation leaks across queries in a long-lived session
     with caching.scope() as (handles, is_owner):
-        pages = pages_for(documents, page_blobs, pack_partitions)
+        # partitions=par pushes the media_ref hash partitioning INTO the
+        # semi-join inputs: one blob shuffle total, output pre-placed for
+        # every downstream media_ref join (no separate repartition)
+        pages = pages_for(documents, page_blobs, pack_partitions,
+                          partitions=par if persist else None)
         if persist:
-            pages = caching.managed(
-                pages.repartition(par, F.col("media_ref")))
+            pages = caching.managed(pages)
 
         lines = detection.detection_stage(pages, detect_slot)
         ordered = reading_order.order_lines(lines)

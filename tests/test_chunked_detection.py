@@ -51,3 +51,29 @@ def test_tall_page_produces_multiple_chunks(spark):
     raw = detection.split_detect_lines(pages.filter(F.col("media_ref") == ref))
     ys = [r["y1"] for r in raw.collect()]
     assert max(ys) > 1400  # far-down lines found despite chunking
+
+
+def test_fused_postprocess_equals_relational(spark):
+    """detection_stage(fused=True) — clean/expand/normalize inside the
+    detect UDF — must be row-identical to the relational anti-join +
+    window form, on both the plain and the chunked path."""
+    from surya_spark import datagen, pipeline
+    from surya_spark.operators import detection
+
+    docs = datagen.gen_documents(spark, 10, partitions=2)
+    blobs = datagen.gen_page_blobs(spark, 10, partitions=2)
+    pages = pipeline.pages_for(docs, blobs)
+
+    def rows(df):
+        return sorted(
+            ((r["media_ref"], r["line_idx"], r["x1"], r["y1"], r["x2"],
+              r["y2"], round(r["confidence"], 12))
+             for r in df.collect()))
+
+    for chunked in (False, True):
+        fused = rows(detection.detection_stage(pages, chunked=chunked,
+                                               fused=True))
+        relational = rows(detection.detection_stage(pages, chunked=chunked,
+                                                    fused=False))
+        assert fused == relational, f"chunked={chunked}"
+        assert len(fused) > 0

@@ -102,3 +102,25 @@ def test_highres_double_resolution_path(spark):
                 "media_ref": s["media_ref"], "offset": int(s["offset"])}
                for s in r["spans"]]
         assert got == expected, r["doc_id"]
+
+
+def test_batch_slot_matches_per_row_path(spark):
+    """Continuous-batching analog: micro-batched batch_slot output must be
+    row-identical to the per-row slot path, including across micro-batch
+    boundaries (micro_batch=3 on a ragged-width page set)."""
+    from surya_spark.operators import detection, reading_order, slots
+
+    pages = _pages(spark, n=8)
+    ordered = reading_order.order_lines(detection.detection_stage(pages))
+    crops = recognition.slice_crops(
+        ordered.select("media_ref", "line_idx", "position",
+                       "x1", "y1", "x2", "y2"), pages)
+    key = lambda r: (r["media_ref"], r["line_idx"])  # noqa: E731
+    per_row = sorted(recognition.recognize(crops).collect(), key=key)
+    batched = sorted(
+        recognition.recognize(
+            crops, batch_slot=slots.surrogate_recognize_batch,
+            micro_batch=3).collect(),
+        key=key)
+    assert batched == per_row
+    assert len(per_row) > 3  # micro-batch boundary actually crossed
