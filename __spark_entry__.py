@@ -847,6 +847,19 @@ def q_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Rolling-crawl dedup: odd doc_ids are the NEW batch, even doc_ids
+    the EXISTING corpus; each new doc is flagged novel unless a minhash
+    band-bucket candidate in the corpus agrees on ≥30% of signature
+    components (signature-agreement Jaccard estimate, exact 1/64
+    multiples — md5lin family for full oracle parity)."""
+    d = _t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    return dedup.minhash_novelty(new, corpus, threshold=0.3,
+                                 hash_mode="md5lin")
+
+
 def q_simhash_pairs(spark, sf_dir):
     # max_dist=3 with max_dist+1 segment blocking → recall is exact by
     # pigeonhole; the oracle computes the NON-blocked all-pairs answer,
@@ -933,6 +946,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_parity": q_extract_parity,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
+        "incremental_dedup": q_incremental_dedup,
         "media_metadata": q_media_metadata,
         "greedy_iou_match": q_greedy_iou_match,
         "vertical_line_merge": q_vertical_line_merge,
@@ -1029,6 +1043,52 @@ def oracle_sql() -> dict[str, str]:
         FROM ix JOIN n na ON ix.doc_a = na.doc_id
                 JOIN n nb ON ix.doc_b = nb.doc_id
         WHERE round(ni / (na.nn + nb.nn - ni), 6) >= 0.05
+    """
+
+    # incremental dedup oracle: same md5lin signature family as
+    # minhash_sql; candidates = new(odd) x corpus(even) band-bucket
+    # matches; similarity = exact fraction of agreeing components
+    incremental_sql = f"""
+        WITH {shingle_cte},
+        e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        hh AS (SELECT doc_id,
+                      ('0x' || substr(md5(g), 1, 15))::BIGINT
+                        % {dedup.LIN_P} AS hm
+               FROM e),
+        coef(i, a, b) AS (
+          VALUES {coef_values}
+        ),
+        sig AS (
+          SELECT doc_id, c.i,
+                 min((c.a * hm + c.b) % {dedup.LIN_P}) AS v
+          FROM hh CROSS JOIN coef c GROUP BY doc_id, c.i
+        ),
+        bandt AS (
+          SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+                 string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS bucket
+          FROM sig GROUP BY doc_id, i // 4
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corp_id
+          FROM bandt a JOIN bandt b
+            ON a.band = b.band AND a.bucket = b.bucket
+          WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        ),
+        agree AS (
+          SELECT c.new_id, c.corp_id,
+                 CAST(sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END)
+                      AS DOUBLE) / 64.0 AS est
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.new_id
+          JOIN sig sb ON sb.doc_id = c.corp_id AND sb.i = sa.i
+          GROUP BY 1, 2
+        ),
+        m AS (SELECT new_id, max(est) AS max_est FROM agree GROUP BY 1)
+        SELECT d.doc_id,
+               round(coalesce(m.max_est, 0.0), 6) AS max_est,
+               coalesce(m.max_est, 0.0) < 0.3 AS is_novel
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        LEFT JOIN m ON d.doc_id = m.new_id
     """
 
     # random-hyperplane LSH oracle: identical integer plane coefficients,
@@ -1526,6 +1586,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard": jacc_pairs,
         "minhash_lsh": minhash_sql,
+        "incremental_dedup": incremental_sql,
         "simhash_pairs": simhash_sql,
         "embedding_lsh": embedding_lsh_sql,
         "ocr_error_labels": """

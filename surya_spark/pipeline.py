@@ -88,8 +88,15 @@ def extract(
     Measured on 2000 docs/32 cores: unpersisted plan re-ran the full
     detect→slice→recognize chain twice (46 s end-to-end); persisted ≈ half.
     checkpointed_extract gets the same reuse from stage materialization."""
-    sc = documents.sparkSession.sparkContext
-    par = pack_partitions or sc.defaultParallelism
+    spark = documents.sparkSession
+    # align the pages partition count with spark.sql.shuffle.partitions:
+    # every downstream media_ref stage (reading-order window, slice join,
+    # layout, table crops) shuffles at that count, so a matching count
+    # lets EnsureRequirements reuse the pages placement instead of
+    # re-shuffling the blob bytes to reconcile partitioning (measured:
+    # mismatched counts re-shuffled the big side at the slice join)
+    par = pack_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
 
     # caching.scope: persisted stages (pages, ocr_lines, table items) are
     # released by the first action on the returned spans — no

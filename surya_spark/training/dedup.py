@@ -401,3 +401,90 @@ def simhash_pairs(sim: DataFrame, max_dist: int = 3) -> DataFrame:
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_dist)
+
+
+def _banded(wide: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, h0..h{n-1}) → exploded (doc_id, band, bucket) rows; the
+    bucket is the comma-joined signature slice (the LSH band key)."""
+    rows_per_band = n_hashes // bands
+    band_cols = [
+        F.concat_ws(",", *[
+            F.col(f"h{b * rows_per_band + j}").cast("string")
+            for j in range(rows_per_band)
+        ])
+        for b in range(bands)
+    ]
+    return wide.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bucket"))
+
+
+def minhash_novelty(new_docs: DataFrame, corpus_docs: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    threshold: float = 0.5, k: int = 3,
+                    n_hashes: int = 64, bands: int = 16,
+                    hash_mode: str = "md5lin") -> DataFrame:
+    """INCREMENTAL dedup: flag each NEW document as novel or near-dup of
+    the EXISTING corpus — the operation a rolling crawl actually runs (a
+    new batch never re-pairs the whole corpus with itself).
+
+    Shape: minhash band buckets on both sides (same hash family), new →
+    corpus candidate generation as an equi-join on (band, bucket), then
+    similarity estimated from SIGNATURE AGREEMENT (fraction of equal
+    minhash components — the standard unbiased Jaccard estimator). The
+    corpus side needs only its 64-int signature + band index, NOT its
+    shingles, so at 10^12 docs the index is a compact bucketed table
+    (~300 B/doc) and a new batch's cost is candidates × a 64-component
+    comparison — no corpus text is ever re-read or re-shuffled.
+
+    Returns one row per new doc: (doc_id, max_est double, is_novel).
+    est values are exact multiples of 1/64 — oracle-replicable without
+    tolerance. Output with threshold t: is_novel ⇔ no candidate with
+    est ≥ t."""
+    sh_hash = "md5" if hash_mode == "md5lin" else "xxhash64"
+    with caching.scope() as (handles, is_owner):
+        new_wide = caching.managed(_minhash_wide(
+            shingle_id_rows(new_docs, text_col, id_col, k, hashed=sh_hash),
+            n_hashes, hash_mode))
+        corp_wide = caching.managed(_minhash_wide(
+            shingle_id_rows(corpus_docs, text_col, id_col, k,
+                            hashed=sh_hash),
+            n_hashes, hash_mode))
+        cand = (
+            _banded(new_wide, n_hashes, bands).alias("n")
+            .join(_banded(corp_wide, n_hashes, bands).alias("c")
+                  .hint("shuffle_hash"),
+                  (F.col("n.band") == F.col("c.band"))
+                  & (F.col("n.bucket") == F.col("c.bucket")))
+            .select(F.col("n.doc_id").alias("new_id"),
+                    F.col("c.doc_id").alias("corp_id"))
+            .distinct()
+        )
+        agree = sum(
+            (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int")
+            for i in range(n_hashes)
+        )
+        est = (
+            cand
+            .join(new_wide.alias("a"),
+                  F.col("new_id") == F.col("a.doc_id"))
+            .join(corp_wide.alias("b").hint("shuffle_hash"),
+                  F.col("corp_id") == F.col("b.doc_id"))
+            .select("new_id",
+                    (agree.cast("double") / F.lit(float(n_hashes)))
+                    .alias("est"))
+            .groupBy("new_id")
+            .agg(F.max("est").alias("max_est"))
+        )
+        out = (
+            new_docs.select(F.col(id_col).alias("doc_id"))
+            .join(est.withColumnRenamed("new_id", "doc_id")
+                  .hint("shuffle_hash"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.round(F.coalesce(F.col("max_est"), F.lit(0.0)), 6)
+                .alias("max_est"),
+                (F.coalesce(F.col("max_est"), F.lit(0.0))
+                 < F.lit(threshold)).alias("is_novel"),
+            )
+        )
+        return caching.owned(out, handles, is_owner)

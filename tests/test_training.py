@@ -252,3 +252,28 @@ def test_curate_corpus_keep_and_shards(spark):
     for d, r in en:
         assert r["shard_id"] == cum // 15
         cum += r["n_tokens"]
+
+
+def test_minhash_novelty_flags_known_dup(spark):
+    """New batch vs corpus: a near-copy of a corpus doc must be flagged
+    non-novel; an unrelated doc must stay novel; max_est is an exact
+    multiple of 1/64."""
+    from surya_spark.training import dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    corpus = spark.createDataFrame(
+        [(0, base), (2, "completely different corpus material here "
+                        "about spark shuffles and partitions")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, base + " extra"),   # near-copy of doc 0
+         (3, "unrelated new content nothing shared with any corpus "
+             "document at all in any shingle")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in dedup.minhash_novelty(
+        new, corpus, threshold=0.5).collect()}
+    assert rows[1]["is_novel"] is False and rows[1]["max_est"] >= 0.5
+    assert rows[3]["is_novel"] is True and rows[3]["max_est"] < 0.5
+    for r in rows.values():
+        assert abs(r["max_est"] * 64 - round(r["max_est"] * 64)) < 1e-9
