@@ -57,6 +57,34 @@ def surrogate_detect(media_ref: str, width: int, height: int,
     return out
 
 
+def surrogate_detect_heatmap(media_ref: str, width: int, height: int,
+                             img_bytes: bytes) -> list[dict]:
+    """Detect surrogate that exercises the REAL CRAFT polygonization path
+    (functions/imageops.py): paint each truth line's bbox onto a float
+    heatmap at a deterministic intensity, then recover polygons via
+    dynamic thresholds → connected components → dilation → min-area rect
+    — the exact pixel pipeline the reference runs on model output
+    (/root/reference/surya/detection/heatmap.py:27-107). Boxes come back
+    dilated by the CC buffer (±1+int(sqrt(line_height)) px), which the
+    downstream stages must absorb exactly as they absorb real CRAFT
+    output."""
+    import numpy as np
+
+    from ..functions import imageops as I
+
+    desc = decode_page(img_bytes)
+    heat = np.zeros((int(height), int(width)))
+    for i, ln in enumerate(desc["lines"]):
+        x1, y1, x2, y2 = (int(v) for v in ln["bbox"])
+        heat[max(0, y1):y2, max(0, x1):x2] = 0.7 + 0.05 * (i % 5)
+    boxes, confs = I.detect_boxes_from_heatmap(heat, 0.6, 0.3)
+    return [
+        {"polygon": [[float(x), float(y)] for x, y in box],
+         "confidence": float(c)}
+        for box, c in zip(boxes, confs)
+    ]
+
+
 # ---------------------------------------------------------------- crop encode
 def encode_crop(desc: dict, bbox: list[float]) -> bytes:
     """Slice a page descriptor to a crop blob: truth lines overlapping the

@@ -190,3 +190,29 @@ def test_scale_to_fit_and_normalize_and_tile():
     assert (c, gh, gw) == (3, 2, 2) and tiles.shape == (4, 3, 14, 14)
     # content preserved: tile (0,0) equals the top-left patch
     assert np.allclose(tiles[0, 0], img[:14, :14, 0])
+
+
+def test_heatmap_detect_slot_span_parity(spark):
+    """End-to-end: extraction driven by the CRAFT heatmap polygonization
+    (paint truth lines → threshold → CC → dilate → min-area rect) must
+    reproduce the same span text sequence as the direct box surrogate —
+    the pixel kernels are load-bearing in the flagship path, and the
+    relational stages absorb the CC dilation exactly like real CRAFT
+    output."""
+    from surya_spark import datagen, pipeline
+    from surya_spark.operators import slots
+
+    docs = datagen.gen_documents(spark, 6, partitions=2)
+    blobs = datagen.gen_page_blobs(spark, 6, partitions=2)
+
+    def spans(detect_slot):
+        out = pipeline.extract(docs, blobs, with_tables=True,
+                               persist=False, detect_slot=detect_slot)
+        return {
+            r["doc_id"]: [(s["kind"], s["text"]) for s in r["spans"]]
+            for r in out.collect()
+        }
+
+    via_heatmap = spans(slots.surrogate_detect_heatmap)
+    via_boxes = spans(slots.surrogate_detect)
+    assert via_heatmap == via_boxes
