@@ -45,6 +45,8 @@ HEADLINE = [
     "edit_distance",
     "html_main",
     "embedding_lsh",
+    "incremental_dedup",
+    "heatmap_boxes",
 ]
 
 
