@@ -106,3 +106,21 @@ def test_extract_no_driver_broadcasts(spark):
     assert "BroadcastExchange" not in plan
     assert "BroadcastHashJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_extract_blob_bytes_shuffle_once(spark):
+    """Round-3 property: page blob bytes (img_bytes) cross the wire at
+    most once — inside the persisted pages subtree — and NEVER in the
+    downstream executed plan. A partition-count mismatch or a lost
+    shuffle_hash hint would reintroduce a blob re-shuffle here."""
+    from surya_spark import datagen, pipeline
+
+    docs = datagen.gen_documents(spark, 12, partitions=2)
+    blobs = datagen.gen_page_blobs(spark, 12, partitions=2)
+    out = pipeline.extract(docs, blobs, with_tables=True, persist=True)
+    plan = _plan(out)
+    blob_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "img_bytes" in ln
+    ]
+    assert blob_exchanges == [], blob_exchanges
