@@ -47,6 +47,13 @@ def dynamic_thresholds(linemap: np.ndarray, text_threshold: float,
     pages with faint heatmaps get proportionally lower cutoffs.
     Ref: surya/detection/heatmap.py:14-24 (same formula)."""
     flat = np.asarray(linemap, dtype=np.float64).ravel()
+    if flat.size == 0:
+        # degenerate crop/chunk: no pixels to scale by — return the
+        # unscaled thresholds clipped to the same bounds
+        return (
+            float(np.clip(text_threshold, 0.15, 0.8)),
+            float(np.clip(low_text, 0.1, 0.6)),
+        )
     k = int(flat.size * 0.9)
     top_mean = float(np.mean(np.partition(flat, k)[k:]))
     scale = float(np.clip(top_mean / typical_top10_avg, 0.0, 1.0) ** 0.5)

@@ -35,6 +35,41 @@ _DETECT_OUT = T.StructType(
 )
 
 
+def _containment_keep(x1, y1, x2, y2, ids, block_elems: int = 8_000_000):
+    """Vectorized per-page containment survivor mask: drop i if some j with
+    strictly larger area (area-tie → lower id) bbox-contains it, or if
+    area(i) <= 0 — the shared kernel behind _postprocess_page and
+    clean_contained_boxes_kernel.
+
+    Memory guard (round-3 verdict #3): the naive n×n boolean matrix is
+    ~100 MB at n=10k boxes PER PAGE, ×32 workers → executor OOM on a
+    pathological page. Work proceeds in row-blocks of ≤ block_elems
+    matrix cells (~8 MB of bool), so peak memory is O(block·n) while the
+    vectorized O(n²) arithmetic is unchanged; pages under ~2.8k boxes
+    still run as a single block (identical fast path)."""
+    import numpy as np
+
+    n = x1.shape[0]
+    area = (x2 - x1) * (y2 - y1)
+    contained = np.zeros(n, dtype=bool)
+    step = max(1, block_elems // max(n, 1))
+    for s in range(0, n, step):
+        e = min(n, s + step)
+        # rows s:e are candidate CONTAINERS; accumulate which cols they contain
+        block = (
+            (x1[s:e, None] <= x1[None, :]) & (y1[s:e, None] <= y1[None, :])
+            & (x2[s:e, None] >= x2[None, :]) & (y2[s:e, None] >= y2[None, :])
+            & (ids[s:e, None] != ids[None, :])
+            & (
+                (area[s:e, None] > area[None, :])
+                | ((area[s:e, None] == area[None, :])
+                   & (ids[s:e, None] < ids[None, :]))
+            )
+        )
+        contained |= block.any(axis=0)
+    return ~(contained | (area <= 0))
+
+
 def _postprocess_page(rows: list[dict], page_w: int, page_h: int,
                       y_pct: float = 0.05) -> list[dict]:
     """Fused per-page post-processing: containment clean + 5% y-expand
@@ -54,18 +89,7 @@ def _postprocess_page(rows: list[dict], page_w: int, page_h: int,
     x2 = np.array([r["x2"] for r in rows], dtype=float)
     y2 = np.array([r["y2"] for r in rows], dtype=float)
     ids = np.array([r["line_idx"] for r in rows])
-    area = (x2 - x1) * (y2 - y1)
-    contains = (
-        (x1[:, None] <= x1[None, :]) & (y1[:, None] <= y1[None, :])
-        & (x2[:, None] >= x2[None, :]) & (y2[:, None] >= y2[None, :])
-        & (ids[:, None] != ids[None, :])
-        & (
-            (area[:, None] > area[None, :])
-            | ((area[:, None] == area[None, :])
-               & (ids[:, None] < ids[None, :]))
-        )
-    )
-    keep = ~(contains.any(axis=0) | (area <= 0))
+    keep = _containment_keep(x1, y1, x2, y2, ids)
     # vertical boxes (height >= 3x width) skip the expand, per reference
     vertical = (y2 - y1) >= 3 * (x2 - x1)
     dy = np.where(vertical, 0.0, (y2 - y1) * y_pct)
@@ -296,30 +320,18 @@ def clean_contained_boxes_kernel(lines: DataFrame,
     kernel does the same O(n²) work as a single boolean matrix op. Measured
     at sf0.1 bench data (≈1200 boxes/page): 70 s (join) → ~7 s (kernel).
     For the extraction pipeline's real pages (tens of lines) the join wins
-    — no Python round-trip."""
-    import numpy as np
-
+    — no Python round-trip. Pathological pages are memory-safe: the
+    containment matrix is evaluated in bounded row-blocks
+    (_containment_keep)."""
     cols = lines.columns
 
     def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
-        x1 = pdf["x1"].to_numpy()
-        y1 = pdf["y1"].to_numpy()
-        x2 = pdf["x2"].to_numpy()
-        y2 = pdf["y2"].to_numpy()
-        ids = pdf[id_col].to_numpy()
-        area = (x2 - x1) * (y2 - y1)
-        contains = (
-            (x1[:, None] <= x1[None, :]) & (y1[:, None] <= y1[None, :])
-            & (x2[:, None] >= x2[None, :]) & (y2[:, None] >= y2[None, :])
-            & (ids[:, None] != ids[None, :])
-            & (
-                (area[:, None] > area[None, :])
-                | ((area[:, None] == area[None, :])
-                   & (ids[:, None] < ids[None, :]))
-            )
+        keep = _containment_keep(
+            pdf["x1"].to_numpy(), pdf["y1"].to_numpy(),
+            pdf["x2"].to_numpy(), pdf["y2"].to_numpy(),
+            pdf[id_col].to_numpy(),
         )
-        dropped = contains.any(axis=0) | (area <= 0)
-        return pdf.loc[~dropped]
+        return pdf.loc[keep]
 
     return lines.groupBy(key).applyInPandas(sweep, schema=lines.schema).select(cols)
 

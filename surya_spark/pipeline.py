@@ -95,8 +95,13 @@ def extract(
     # lets EnsureRequirements reuse the pages placement instead of
     # re-shuffling the blob bytes to reconcile partitioning (measured:
     # mismatched counts re-shuffled the big side at the slice join)
-    par = pack_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions"))
+    # shuffle.partitions may be non-numeric on AQE-coalesce platforms
+    # (e.g. "auto") — fall back to the cluster default parallelism
+    try:
+        par = pack_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        par = spark.sparkContext.defaultParallelism
 
     # caching.scope: persisted stages (pages, ocr_lines, table items) are
     # released by the first action on the returned spans — no

@@ -23,10 +23,19 @@ ownership is deferred to that action:
   transformations): first action on the wrapped df unpersists every
   registered cache of the session.
 
+Terminal-action coverage: collect/toPandas/count/take/head/first/tail/
+show/isEmpty/foreach*/checkpoint release immediately; ``df.write.…`` sink
+calls release after the write (via a DataFrameWriter proxy);
+``toLocalIterator`` releases when the returned iterator is exhausted or
+closed. Entry points that only ever transform (never act) should call
+``release_all()`` explicitly.
+
 Scale note: on a real cluster unpersist(blocking=False) is an async
 executor-side block drop — zero driver cost; correctness never depends on
 a cache (re-execution is always equivalent), so a late or lost release
-only costs memory, never answers.
+only costs memory, never answers. On platforms without the concrete
+DataFrame class (Spark Connect) the wrapper degrades to registry-only
+mode — see _set_wrapper_enabled.
 """
 
 from __future__ import annotations
@@ -35,7 +44,18 @@ import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
-from pyspark.sql.classic.dataframe import DataFrame as _ClassicDataFrame
+
+# The first-action-release wrapper subclasses the concrete DataFrame
+# implementation, which lives in a Spark-4 internal namespace and does
+# not exist under Spark Connect or other Spark lines. Ownership is an
+# optimization, never a correctness dependency, so when the wrapper
+# can't be built we degrade to registry-only mode: owned()/own_session()
+# return the DataFrame unchanged and callers (or the next release_all())
+# reap the registry. Force-disable for tests via _set_wrapper_enabled.
+try:  # pragma: no cover - exercised via _set_wrapper_enabled in tests
+    from pyspark.sql.classic.dataframe import DataFrame as _ClassicDataFrame
+except ImportError:  # Spark Connect / future Spark versions
+    _ClassicDataFrame = None
 
 _local = threading.local()
 
@@ -98,53 +118,116 @@ def release_all(spark=None) -> None:
     _release(handles)
 
 
-class _OwnedDataFrame(_ClassicDataFrame):
-    """A DataFrame whose first terminal action releases its handles.
+class _ReleasingWriter:
+    """Proxy over DataFrameWriter: builder calls chain through (returning
+    the proxy so the release survives .mode().format()... chains); any
+    terminal sink call releases the owned caches after the write."""
 
-    Transformations return plain DataFrames (ownership does not
-    propagate); if the caller transforms before acting, the handles stay
-    registered and release_all / the next own_session action reaps them.
-    """
+    _TERMINAL = frozenset({
+        "save", "saveAsTable", "insertInto", "json", "parquet", "csv",
+        "orc", "text", "jdbc",
+    })
 
-    # NOTE: pyspark's DataFrame.__new__ validates ctor args, so ownership
-    # state is attached post-construction via _wrap, not __init__.
-    _own_handles: list
-    _own_session_wide: bool
+    def __init__(self, writer, release):
+        self._writer = writer
+        self._release = release
 
-    def _release_owned(self) -> None:
-        _release(self._own_handles)
-        with _registry_lock:
-            for h in self._own_handles:
+    def __getattr__(self, name):
+        attr = getattr(self._writer, name)
+        if not callable(attr):
+            return attr
+        if name in self._TERMINAL:
+            def call(*args, **kwargs):
                 try:
-                    _registry.remove(h)
-                except ValueError:
-                    pass
-        self._own_handles = []
-        if self._own_session_wide:
-            self._own_session_wide = False
-            release_all(self.sparkSession)
+                    return attr(*args, **kwargs)
+                finally:
+                    self._release()
+            return call
+
+        def chain(*args, **kwargs):
+            res = attr(*args, **kwargs)
+            return self if res is self._writer else res
+        return chain
 
 
-def _add_action(name: str) -> None:
-    parent = getattr(_ClassicDataFrame, name)
-
-    def method(self, *args, **kwargs):
-        try:
-            return parent(self, *args, **kwargs)
-        finally:
-            self._release_owned()
-
-    method.__name__ = name
-    setattr(_OwnedDataFrame, name, method)
+_enabled = _ClassicDataFrame is not None
 
 
-for _n in ("collect", "toPandas", "count", "take", "head", "first",
-           "tail", "show", "isEmpty", "foreach", "foreachPartition",
-           "toLocalIterator"):
-    _add_action(_n)
+def _set_wrapper_enabled(on: bool) -> None:
+    """Test hook: simulate a platform where the concrete-DataFrame
+    subclass can't be built (Spark Connect)."""
+    global _enabled
+    _enabled = on and _ClassicDataFrame is not None
+
+
+if _ClassicDataFrame is not None:
+    class _OwnedDataFrame(_ClassicDataFrame):
+        """A DataFrame whose first terminal action releases its handles.
+
+        Transformations return plain DataFrames (ownership does not
+        propagate); if the caller transforms before acting, the handles
+        stay registered and release_all / the next own_session action
+        reaps them.
+        """
+
+        # NOTE: pyspark's DataFrame.__new__ validates ctor args, so
+        # ownership state is attached post-construction via _wrap.
+        _own_handles: list
+        _own_session_wide: bool
+
+        def _release_owned(self) -> None:
+            _release(self._own_handles)
+            with _registry_lock:
+                for h in self._own_handles:
+                    try:
+                        _registry.remove(h)
+                    except ValueError:
+                        pass
+            self._own_handles = []
+            if self._own_session_wide:
+                self._own_session_wide = False
+                release_all(self.sparkSession)
+
+        def toLocalIterator(self, *args, **kwargs):
+            # release must wait for iterator EXHAUSTION (or close), not
+            # the call returning — the iterator still reads the caches
+            it = _ClassicDataFrame.toLocalIterator(self, *args, **kwargs)
+
+            def gen():
+                try:
+                    yield from it
+                finally:
+                    self._release_owned()
+            return gen()
+
+        @property
+        def write(self):
+            # df.write....parquet(path) is a terminal action too —
+            # without this, writer-based drivers leak until release_all
+            return _ReleasingWriter(
+                _ClassicDataFrame.write.fget(self), self._release_owned)
+
+    def _add_action(name: str) -> None:
+        parent = getattr(_ClassicDataFrame, name)
+
+        def method(self, *args, **kwargs):
+            try:
+                return parent(self, *args, **kwargs)
+            finally:
+                self._release_owned()
+
+        method.__name__ = name
+        setattr(_OwnedDataFrame, name, method)
+
+    for _n in ("collect", "toPandas", "count", "take", "head", "first",
+               "tail", "show", "isEmpty", "foreach", "foreachPartition",
+               "checkpoint"):
+        _add_action(_n)
 
 
 def _wrap(df: DataFrame, handles, session_wide: bool) -> DataFrame:
+    if not _enabled:
+        return df  # registry-only mode: release_all reaps later
     w = _OwnedDataFrame(df._jdf, df.sparkSession)
     w._own_handles = list(handles or [])
     w._own_session_wide = session_wide

@@ -60,6 +60,57 @@ def test_transformed_result_reaped_by_own_session(spark):
     assert _n_persisted(spark) == 0
 
 
+def _owned_range(spark, caching, n=100, materialize=False):
+    with caching.scope() as (handles, is_owner):
+        d = caching.managed(spark.range(n))
+        w = caching.owned(d, handles, is_owner)
+    if materialize:
+        d.count()  # materialize the cache via the UNWRAPPED handle
+    return w
+
+
+def test_wrapper_disabled_degrades_to_release_all(spark):
+    """Force the Connect-style fallback: owned() returns the plain
+    DataFrame, nothing auto-releases, release_all() still reaps."""
+    from surya_spark.plans import caching
+
+    spark.catalog.clearCache()
+    caching._set_wrapper_enabled(False)
+    try:
+        w = _owned_range(spark, caching)
+        assert type(w).__name__ != "_OwnedDataFrame"
+        w.count()
+        assert _n_persisted(spark) >= 1  # no wrapper → no auto release
+        caching.release_all(spark)
+        assert _n_persisted(spark) == 0
+    finally:
+        caching._set_wrapper_enabled(True)
+
+
+def test_write_releases_caches(spark, tmp_path):
+    """df.write...parquet() is a terminal action: the writer proxy must
+    release after the sink call, including through builder chains."""
+    from surya_spark.plans import caching
+
+    spark.catalog.clearCache()
+    w = _owned_range(spark, caching, materialize=True)
+    assert _n_persisted(spark) >= 1
+    w.write.mode("overwrite").parquet(str(tmp_path / "out.parquet"))
+    assert _n_persisted(spark) == 0
+
+
+def test_tolocaliterator_releases_on_exhaustion(spark):
+    from surya_spark.plans import caching
+
+    spark.catalog.clearCache()
+    w = _owned_range(spark, caching, materialize=True)
+    it = w.toLocalIterator()
+    assert _n_persisted(spark) >= 1  # not released until exhaustion
+    n = sum(1 for _ in it)
+    assert n == 100
+    assert _n_persisted(spark) == 0
+
+
 def test_extract_caches_released_but_used(spark):
     """extract(persist=True) must actually persist during execution (the
     2x-lineage fix) and release afterwards."""

@@ -227,3 +227,47 @@ def test_html_boilerplate_strip(spark):
     blocks = html_main.html_blocks(docs.filter("doc_id = 'd1'")).collect()
     navs = [b for b in blocks if "Home" in (b["text"] or "")]
     assert navs and all(b["link_density"] >= 0.9 for b in navs)
+
+
+def test_containment_keep_blocked_matches_single_block():
+    """The memory-bounded row-block evaluation of the containment kernel
+    must agree with the single-block matrix and a brute-force loop at the
+    block boundary (n just above/below the block row count)."""
+    import numpy as np
+
+    from surya_spark.operators.detection import _containment_keep
+
+    rng = np.random.RandomState(7)
+    n = 97
+    x1 = rng.randint(0, 50, n).astype(float)
+    y1 = rng.randint(0, 50, n).astype(float)
+    x2 = x1 + rng.randint(0, 30, n)  # some zero-area boxes
+    y2 = y1 + rng.randint(0, 30, n)
+    ids = np.arange(n)
+
+    def brute():
+        area = (x2 - x1) * (y2 - y1)
+        keep = np.ones(n, dtype=bool)
+        for i in range(n):
+            if area[i] <= 0:
+                keep[i] = False
+                continue
+            for j in range(n):
+                if j == i:
+                    continue
+                if (x1[j] <= x1[i] and y1[j] <= y1[i]
+                        and x2[j] >= x2[i] and y2[j] >= y2[i]
+                        and (area[j] > area[i]
+                             or (area[j] == area[i] and j < i))):
+                    keep[i] = False
+                    break
+        return keep
+
+    expected = brute()
+    single = _containment_keep(x1, y1, x2, y2, ids)
+    assert (single == expected).all()
+    # force multi-block paths: block row counts 1, n-1, n, n+1
+    for rows_per_block in (1, n - 1, n, n + 1):
+        blocked = _containment_keep(
+            x1, y1, x2, y2, ids, block_elems=rows_per_block * n)
+        assert (blocked == expected).all(), rows_per_block
