@@ -79,7 +79,20 @@ def _postprocess_page(rows: list[dict], page_w: int, page_h: int,
     anti-join and window shuffles disappear from the flagship plan.
     (Round-3 measurement: the shuffle-hash anti-join, required once the
     driver broadcast was banned, cost ~2 line-table shuffles per run;
-    per-page work belongs in the page-grain kernel.)"""
+    per-page work belongs in the page-grain kernel.)
+
+    The slot's POLYGON survives: skewed minAreaRect quads from CRAFT
+    output (ref surya/detection/heatmap.py:83-103) keep their corners —
+    containment stays bbox-based exactly like the reference's clean_boxes
+    (ref surya/common/util.py:9-36 compares PolygonBox.bbox), expansion
+    is CORNERWISE by index (top corners 0,1 get −dy, bottom corners 2,3
+    get +dy; ref surya/common/polygon.py:100-113 PolygonBox.expand) with
+    each corner clamped to the page (fit_to_bounds, polygon.py:76-81),
+    and the bbox is recomputed as the min/max of the expanded corners
+    (bbox is a derived property of the polygon in the reference). Float
+    arithmetic throughout — the engine's established contract; the
+    reference's int() truncation in expand() is a rasterization detail
+    its own crop code re-truncates anyway."""
     import numpy as np
 
     if not rows:
@@ -89,18 +102,21 @@ def _postprocess_page(rows: list[dict], page_w: int, page_h: int,
     x2 = np.array([r["x2"] for r in rows], dtype=float)
     y2 = np.array([r["y2"] for r in rows], dtype=float)
     ids = np.array([r["line_idx"] for r in rows])
+    P = np.array([r["polygon"] for r in rows], dtype=float)  # (n, 4, 2)
     keep = _containment_keep(x1, y1, x2, y2, ids)
-    # vertical boxes (height >= 3x width) skip the expand, per reference
+    # vertical boxes (height >= 3x width) skip expand AND clamp, per
+    # reference (parallel_get_boxes only expands/fits non-vertical boxes)
     vertical = (y2 - y1) >= 3 * (x2 - x1)
-    dy = np.where(vertical, 0.0, (y2 - y1) * y_pct)
-    ey1 = np.where(vertical, y1,
-                   np.minimum(np.maximum(y1 - dy, 0.0), float(page_h)))
-    ey2 = np.where(vertical, y2,
-                   np.minimum(np.maximum(y2 + dy, 0.0), float(page_h)))
-    ex1 = np.where(vertical, x1,
-                   np.minimum(np.maximum(x1, 0.0), float(page_w)))
-    ex2 = np.where(vertical, x2,
-                   np.minimum(np.maximum(x2, 0.0), float(page_w)))
+    dy = (y2 - y1) * y_pct
+    ny = P[:, :, 1].copy()
+    ny[:, 0:2] -= dy[:, None]
+    ny[:, 2:4] += dy[:, None]
+    nx = np.clip(P[:, :, 0], 0.0, float(page_w))
+    ny = np.clip(ny, 0.0, float(page_h))
+    nx = np.where(vertical[:, None], P[:, :, 0], nx)
+    ny = np.where(vertical[:, None], P[:, :, 1], ny)
+    ex1, ex2 = nx.min(axis=1), nx.max(axis=1)
+    ey1, ey2 = ny.min(axis=1), ny.max(axis=1)
     conf = np.array([r["confidence"] for r in rows], dtype=float)
     cmax = conf[keep].max() if keep.any() else 1.0
     out = []
@@ -111,10 +127,8 @@ def _postprocess_page(rows: list[dict], page_w: int, page_h: int,
             **r,
             "x1": float(ex1[i]), "y1": float(ey1[i]),
             "x2": float(ex2[i]), "y2": float(ey2[i]),
-            "polygon": [[float(ex1[i]), float(ey1[i])],
-                        [float(ex2[i]), float(ey1[i])],
-                        [float(ex2[i]), float(ey2[i])],
-                        [float(ex1[i]), float(ey2[i])]],
+            "polygon": [[float(nx[i, j]), float(ny[i, j])]
+                        for j in range(4)],
             "confidence": float(conf[i] / cmax),
         })
     return out
@@ -343,30 +357,52 @@ def expand_and_normalize(lines: DataFrame, y_pct: float = 0.05) -> DataFrame:
     max-confidence normalization
     (/root/reference/surya/detection/heatmap.py:100-107) via a window.
 
-    All four coordinates are replaced in ONE withColumns: sequential
-    withColumn calls would resolve the y2 expression against the
-    already-expanded y1 and double-expand the bottom edge (round-3 bug,
-    caught by the fused-path equivalence test)."""
-    ex = G.expand_bbox(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"),
-                       x_pct=0.0, y_pct=y_pct)
-    cl = G.clamp_bbox(ex[0], ex[1], ex[2], ex[3],
-                      F.col("page_width"), F.col("page_height"))
+    The POLYGON column is expanded CORNERWISE (top corners 0,1 −dy,
+    bottom corners 2,3 +dy, each corner clamped to the page — ref
+    surya/common/polygon.py:100-113 expand + :76-81 fit_to_bounds), so
+    skewed quads keep their corners; the bbox columns are recomputed as
+    corner min/max, the reference's derived-bbox semantics. Explicit
+    element_at corner expressions, not transform() lambdas — higher-order
+    functions evaluate interpreted (BENCH.md rule 1) and the quad has a
+    known dimension of 4.
+
+    All interdependent columns are replaced in ONE withColumns:
+    sequential withColumn calls would resolve the y2 expression against
+    the already-expanded y1 and double-expand the bottom edge (round-3
+    bug, caught by the fused-path equivalence test)."""
+    poly = F.col("polygon")
+    w_pg = F.col("page_width").cast("double")
+    h_pg = F.col("page_height").cast("double")
+    dy = (F.col("y2") - F.col("y1")) * F.lit(y_pct)
+
+    def clamp(v, m):
+        return F.greatest(F.lit(0.0), F.least(v, m))
+
+    def corner(i, sign):
+        c = F.element_at(poly, i)
+        return F.array(
+            clamp(F.element_at(c, 1), w_pg),
+            clamp(F.element_at(c, 2) + F.lit(float(sign)) * dy, h_pg),
+        )
+
     vertical = (F.col("y2") - F.col("y1")) >= 3 * (F.col("x2") - F.col("x1"))
+    expanded = F.when(vertical, poly).otherwise(
+        F.array(corner(1, -1), corner(2, -1), corner(3, +1), corner(4, +1))
+    )
+    xs = [expanded[i][0] for i in range(4)]
+    ys = [expanded[i][1] for i in range(4)]
     w = Window.partitionBy("media_ref")
     return (
         lines.withColumns({
-            "x1": F.when(vertical, F.col("x1")).otherwise(cl[0]),
-            "y1": F.when(vertical, F.col("y1")).otherwise(cl[1]),
-            "x2": F.when(vertical, F.col("x2")).otherwise(cl[2]),
-            "y2": F.when(vertical, F.col("y2")).otherwise(cl[3]),
+            "polygon": expanded,
+            "x1": F.least(*xs),
+            "y1": F.least(*ys),
+            "x2": F.greatest(*xs),
+            "y2": F.greatest(*ys),
         })
         .withColumn(
             "confidence",
             F.col("confidence") / F.max("confidence").over(w),
-        )
-        .withColumn(
-            "polygon",
-            G.bbox_to_poly(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")),
         )
     )
 

@@ -67,7 +67,8 @@ def test_fused_postprocess_equals_relational(spark):
     def rows(df):
         return sorted(
             ((r["media_ref"], r["line_idx"], r["x1"], r["y1"], r["x2"],
-              r["y2"], round(r["confidence"], 12))
+              r["y2"], tuple(tuple(c) for c in r["polygon"]),
+              round(r["confidence"], 12))
              for r in df.collect()))
 
     for chunked in (False, True):
@@ -77,3 +78,57 @@ def test_fused_postprocess_equals_relational(spark):
                                                     fused=False))
         assert fused == relational, f"chunked={chunked}"
         assert len(fused) > 0
+
+
+def test_postprocess_preserves_skewed_quads(spark):
+    """A slot emitting skewed minAreaRect-style quads (rotated text, ref
+    surya/detection/heatmap.py:83-103) must keep its corners through BOTH
+    post-process paths: expansion is cornerwise, not a bbox snap, and the
+    two paths stay bit-identical on the polygon column."""
+    from surya_spark import datagen, pipeline
+    from surya_spark.operators import detection
+
+    docs = datagen.gen_documents(spark, 6, partitions=2)
+    blobs = datagen.gen_page_blobs(spark, 6, partitions=2)
+    pages = pipeline.pages_for(docs, blobs)
+
+    def skew_slot(media_ref, width, height, img_bytes):
+        # shear each truth line into a parallelogram: top edge shifted
+        # +s, bottom edge −s — corners are NOT the bbox corners
+        out = []
+        for d in detection.slots.surrogate_detect(
+                media_ref, width, height, img_bytes):
+            (x1, y1), (x2, _), (_, y2), _ = d["polygon"]
+            s = 4.0
+            d["polygon"] = [[x1 + s, y1], [x2 + s, y1],
+                            [x2 - s, y2], [x1 - s, y2]]
+            out.append(d)
+        return out
+
+    def rows(df):
+        return sorted(
+            ((r["media_ref"], r["line_idx"],
+              tuple(tuple(c) for c in r["polygon"]),
+              r["x1"], r["y1"], r["x2"], r["y2"],
+              round(r["confidence"], 12))
+             for r in df.collect()))
+
+    fused = rows(detection.detection_stage(pages, slot=skew_slot,
+                                           fused=True))
+    relational = rows(detection.detection_stage(pages, slot=skew_slot,
+                                                fused=False))
+    assert fused == relational
+    assert len(fused) > 0
+    skewed = 0
+    for _, _, poly, x1, y1, x2, y2, _ in fused:
+        (ax, ay), (bx, _), (cx, cy), (dx, _) = poly
+        # top corners sheared right of bottom corners → quad survived
+        if ax != dx or bx != cx:
+            skewed += 1
+            # bbox must be the hull of the expanded corners
+            assert x1 == min(ax, bx, cx, dx)
+            assert x2 == max(ax, bx, cx, dx)
+            # expansion moved top corners up / bottom corners down
+            # relative to each other, preserving the shear offsets
+            assert ay <= cy
+    assert skewed > 0, "fixture produced no skewed quads"

@@ -216,3 +216,71 @@ def test_heatmap_detect_slot_span_parity(spark):
     via_heatmap = spans(slots.surrogate_detect_heatmap)
     via_boxes = spans(slots.surrogate_detect)
     assert via_heatmap == via_boxes
+
+
+def test_heatmap_skewed_lines_span_parity(spark):
+    """Skewed-line fixture through the full pipeline: sheared heatmap
+    paint → rotated min-area-rect quads → fused post-process (cornerwise
+    expand) → crops → recognition must still produce the exact span
+    sequence, and the quads must survive to the line table un-flattened."""
+    from surya_spark import datagen, pipeline
+    from surya_spark.operators import detection, slots
+
+    # nested so cloudpickle ships it by VALUE (test modules aren't
+    # importable on executors)
+    def _skewed_heatmap_slot(media_ref, width, height, img_bytes):
+        """Paint each truth line ROTATED ~2.5° about its center so
+        min-area-rect recovers rotated quads — the real-CRAFT shape for
+        slightly rotated scans. (A row-sheared wide strip keeps an
+        axis-aligned min-area rect; genuine rotation does not.)"""
+        import numpy as np
+
+        from surya_spark.datagen import decode_page
+        from surya_spark.functions import imageops as I
+
+        desc = decode_page(img_bytes)
+        w, h = int(width), int(height)
+        th = np.radians(2.5)
+        c, s = np.cos(th), np.sin(th)
+        heat = np.zeros((h, w))
+        for i, ln in enumerate(desc["lines"]):
+            x1, y1, x2, y2 = (float(v) for v in ln["bbox"])
+            cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+            pad = int((x2 - x1) * s) + 3
+            wy0 = max(0, int(y1) - pad)
+            wy1 = min(h, int(y2) + pad)
+            wx0 = max(0, int(x1) - pad)
+            wx1 = min(w, int(x2) + pad)
+            if wy1 <= wy0 or wx1 <= wx0:
+                continue
+            Y, X = np.mgrid[wy0:wy1, wx0:wx1]
+            xr = (X - cx) * c + (Y - cy) * s + cx
+            yr = -(X - cx) * s + (Y - cy) * c + cy
+            m = (xr >= x1) & (xr < x2) & (yr >= y1) & (yr < y2)
+            heat[wy0:wy1, wx0:wx1][m] = 0.7 + 0.05 * (i % 5)
+        boxes, confs = I.detect_boxes_from_heatmap(heat, 0.6, 0.3)
+        return [
+            {"polygon": [[float(x), float(y)] for x, y in box],
+             "confidence": float(c)}
+            for box, c in zip(boxes, confs)
+        ]
+
+    docs = datagen.gen_documents(spark, 6, partitions=2)
+    blobs = datagen.gen_page_blobs(spark, 6, partitions=2)
+
+    def spans(detect_slot):
+        out = pipeline.extract(docs, blobs, with_tables=True,
+                               persist=False, detect_slot=detect_slot)
+        return {
+            r["doc_id"]: [(s["kind"], s["text"]) for s in r["spans"]]
+            for r in out.collect()
+        }
+
+    assert spans(_skewed_heatmap_slot) == spans(slots.surrogate_detect)
+
+    pages = pipeline.pages_for(docs, blobs)
+    lines = detection.detection_stage(pages, slot=_skewed_heatmap_slot)
+    polys = [r["polygon"] for r in lines.collect()]
+    assert polys
+    skewed = [p for p in polys if p[0][0] != p[3][0] or p[1][0] != p[2][0]]
+    assert skewed, "sheared paint should yield non-axis-aligned quads"
