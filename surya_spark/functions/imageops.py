@@ -429,6 +429,57 @@ def patch_tile(img: np.ndarray, patch_size: int,
     return tiles, (c, gh, gw)
 
 
+# ---------------------------------------------------- polygon raster
+
+
+def fill_poly_mask(h: int, w: int, polygon) -> np.ndarray:
+    """Boolean (h, w) mask of pixels whose integer coordinate lies inside
+    the simple polygon (even-odd rule, vectorized crossing test over the
+    pixel grid, one pass per edge) — the pure-numpy stand-in for
+    cv2.fillPoly (ref surya/input/processing.py:93-97). cv2 additionally
+    paints boundary pixels; this rasterization differs only in a ≤1 px
+    boundary band, immaterial to crop masking — a deployment wanting
+    cv2-exact rasterization swaps the mask call inside its slot."""
+    pts = np.asarray(polygon, dtype=np.float64)
+    if pts.ndim != 2 or len(pts) < 3 or h <= 0 or w <= 0:
+        return np.zeros((max(h, 0), max(w, 0)), dtype=bool)
+    X, Y = np.meshgrid(np.arange(w, dtype=np.float64),
+                       np.arange(h, dtype=np.float64))
+    inside = np.zeros((h, w), dtype=bool)
+    n = len(pts)
+    for i in range(n):
+        x1, y1 = pts[i]
+        x2, y2 = pts[(i + 1) % n]
+        if y1 == y2:
+            continue
+        crosses = (y1 > Y) != (y2 > Y)
+        xint = x1 + (Y - y1) * (x2 - x1) / (y2 - y1)
+        inside ^= crosses & (X < xint)
+    return inside
+
+
+def slice_and_pad_poly(image: np.ndarray, polygon,
+                       pad_value: int = 255) -> np.ndarray:
+    """Crop the polygon's bbox from the image and set pixels outside the
+    polygon to pad_value — the reference's slice_and_pad_poly
+    (ref surya/input/processing.py:63-101): recognition crops of skewed
+    lines must not carry neighbor-line ink in the bbox corners.
+    Degenerate inputs (empty crop, <3 corners) return the unmasked crop,
+    matching the reference's validation short-circuit."""
+    pts = np.asarray(polygon, dtype=np.float64)
+    x1 = int(max(0, math.floor(pts[:, 0].min())))
+    y1 = int(max(0, math.floor(pts[:, 1].min())))
+    x2 = int(min(image.shape[1], math.ceil(pts[:, 0].max())))
+    y2 = int(min(image.shape[0], math.ceil(pts[:, 1].max())))
+    crop = image[y1:y2, x1:x2].copy()
+    ch, cw = crop.shape[:2]
+    if ch == 0 or cw == 0 or len(pts) < 3:
+        return crop
+    mask = fill_poly_mask(ch, cw, pts - np.array([x1, y1], dtype=np.float64))
+    crop[~mask] = pad_value
+    return crop
+
+
 # ------------------------------------------------------------ edge maps
 
 

@@ -50,6 +50,12 @@ def slice_crops(lines: DataFrame, pages: DataFrame,
     The aggregate-then-join keeps the shuffle payload to bbox lists; page
     bytes stay where the page row lives.
 
+    If the lines carry a `polygon` column, it rides along in the box
+    struct and each crop is polygon-MASKED (encode_crop's fillPoly
+    analog; ref surya/input/processing.py:57-101): skewed quads from
+    rotated text stop leaking neighbor-line ink into recognition.
+    Axis-aligned polygons are bit-identical to the bbox-only path.
+
     With highres_pages (a second blob table of the SAME pages at higher
     resolution — the reference's 192-DPI render), crops are taken from the
     highres blob: detection bboxes (lowres space) are scaled by
@@ -60,10 +66,12 @@ def slice_crops(lines: DataFrame, pages: DataFrame,
     space either way. Only the small (width, height) columns of the lowres
     table join in — lowres page bytes are never read on this path
     (column pruning keeps them out of the scan)."""
+    has_poly = "polygon" in lines.columns
+    box_cols = ["line_idx", "position", "x1", "y1", "x2", "y2"]
+    if has_poly:
+        box_cols.append("polygon")
     boxes = lines.groupBy("media_ref").agg(
-        F.collect_list(
-            F.struct("line_idx", "position", "x1", "y1", "x2", "y2")
-        ).alias("boxes")
+        F.collect_list(F.struct(*box_cols)).alias("boxes")
     )
     # the boxes aggregate derives from the FULL detection output — letting
     # the optimizer broadcast it makes the driver collect and serialize
@@ -101,6 +109,7 @@ def slice_crops(lines: DataFrame, pages: DataFrame,
                 desc = decode_page(bytes(blob))
                 ws, hs = float(ws), float(hs)
                 for b in boxes:
+                    poly = b["polygon"] if has_poly else None
                     if ws == 1.0 and hs == 1.0:
                         bbox = [b["x1"], b["y1"], b["x2"], b["y2"]]
                     else:
@@ -109,13 +118,17 @@ def slice_crops(lines: DataFrame, pages: DataFrame,
                                 float(int(b["y1"] * hs)),
                                 float(int(b["x2"] * ws)),
                                 float(int(b["y2"] * hs))]
+                        if poly is not None:
+                            # PolygonBox.rescale truncates per corner
+                            poly = [[float(int(p[0] * ws)),
+                                     float(int(p[1] * hs))] for p in poly]
                     rows.append({
                         "media_ref": ref,
                         "line_idx": int(b["line_idx"]),
                         "position": int(b["position"]),
                         "x1": b["x1"], "y1": b["y1"],
                         "x2": b["x2"], "y2": b["y2"],
-                        "crop_bytes": slots.encode_crop(desc, bbox),
+                        "crop_bytes": slots.encode_crop(desc, bbox, poly),
                         "res_x": ws, "res_y": hs,
                     })
             yield pd.DataFrame(rows) if rows else pd.DataFrame(

@@ -86,18 +86,66 @@ def surrogate_detect_heatmap(media_ref: str, width: int, height: int,
 
 
 # ---------------------------------------------------------------- crop encode
-def encode_crop(desc: dict, bbox: list[float]) -> bytes:
+def _is_axis_rect(polygon, bbox, eps: float = 1e-9) -> bool:
+    """polygon == the clockwise corner rectangle of bbox."""
+    if polygon is None or len(polygon) != 4:
+        return polygon is None
+    x1, y1, x2, y2 = bbox
+    rect = [[x1, y1], [x2, y1], [x2, y2], [x1, y2]]
+    return all(
+        abs(float(p[0]) - r[0]) <= eps and abs(float(p[1]) - r[1]) <= eps
+        for p, r in zip(polygon, rect)
+    )
+
+
+def encode_crop(desc: dict, bbox: list[float],
+                polygon: list[list[float]] | None = None) -> bytes:
     """Slice a page descriptor to a crop blob: truth lines overlapping the
-    crop bbox ≥50% of their area, coordinates shifted to crop space.
-    Mirrors polygon crop+mask (/root/reference/surya/input/processing.py:57-101)."""
+    crop ≥50% of their area, coordinates shifted to crop space.
+
+    With a non-rectangular polygon (skewed quad from rotated text), the
+    visibility rule is the descriptor analog of the reference's fillPoly
+    masking (/root/reference/surya/input/processing.py:57-101): pixels
+    outside the polygon are padded away, so a truth line counts as
+    visible by the fraction of its area covered by the polygon RASTER
+    (imageops.fill_poly_mask), not by the bbox — neighbor-line ink in
+    the bbox corners of a skewed crop no longer leaks in. Axis-aligned
+    polygons take the exact float bbox path (bit-identical to the
+    polygon-less call)."""
     cx1, cy1, cx2, cy2 = bbox
+    masked = polygon is not None and not _is_axis_rect(polygon, bbox)
+    mask = None
+    if masked:
+        import math
+
+        import numpy as np
+
+        from ..functions.imageops import fill_poly_mask
+
+        cw = int(math.ceil(cx2 - cx1))
+        ch = int(math.ceil(cy2 - cy1))
+        # Arrow delivers array<array<double>> as an object array of
+        # arrays — normalize corner-by-corner
+        shifted = np.array(
+            [[float(p[0]) - cx1, float(p[1]) - cy1] for p in polygon])
+        mask = fill_poly_mask(ch, cw, shifted)
     kept = []
     for ln in desc["lines"]:
         lx1, ly1, lx2, ly2 = ln["bbox"]
-        ix = max(0.0, min(lx2, cx2) - max(lx1, cx1))
-        iy = max(0.0, min(ly2, cy2) - max(ly1, cy1))
         area = max(1e-9, (lx2 - lx1) * (ly2 - ly1))
-        if ix * iy / area >= 0.5:
+        if not masked:
+            ix = max(0.0, min(lx2, cx2) - max(lx1, cx1))
+            iy = max(0.0, min(ly2, cy2) - max(ly1, cy1))
+            visible = ix * iy
+        else:
+            import math
+
+            a = max(0, int(math.floor(lx1 - cx1)))
+            b = min(mask.shape[1], int(math.ceil(lx2 - cx1)))
+            c = max(0, int(math.floor(ly1 - cy1)))
+            d = min(mask.shape[0], int(math.ceil(ly2 - cy1)))
+            visible = float(mask[c:d, a:b].sum()) if (b > a and d > c) else 0.0
+        if visible / area >= 0.5:
             kept.append({
                 "bbox": [lx1 - cx1, ly1 - cy1, lx2 - cx1, ly2 - cy1],
                 "text": ln["text"],

@@ -125,7 +125,7 @@ def extract(
               if highres_blobs is not None else None)
         crops = recognition.slice_crops(
             ordered.select("media_ref", "line_idx", "position",
-                           "x1", "y1", "x2", "y2"),
+                           "x1", "y1", "x2", "y2", "polygon"),
             pages,
             highres_pages=hp,
         )
@@ -187,7 +187,7 @@ def checkpointed_extract(
         lambda: recognition.recognize(
             recognition.slice_crops(
                 ordered.select("media_ref", "line_idx", "position",
-                               "x1", "y1", "x2", "y2"),
+                               "x1", "y1", "x2", "y2", "polygon"),
                 pages,
                 highres_pages=hp,
             ),

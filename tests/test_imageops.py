@@ -284,3 +284,80 @@ def test_heatmap_skewed_lines_span_parity(spark):
     assert polys
     skewed = [p for p in polys if p[0][0] != p[3][0] or p[1][0] != p[2][0]]
     assert skewed, "sheared paint should yield non-axis-aligned quads"
+
+
+def test_fill_poly_mask_matches_bruteforce():
+    """Vectorized even-odd raster == classic per-pixel crossing-number
+    test, on a convex skewed quad and a concave polygon."""
+    import numpy as np
+
+    from surya_spark.functions import imageops as I
+
+    def brute(h, w, poly):
+        n = len(poly)
+        out = np.zeros((h, w), dtype=bool)
+        for y in range(h):
+            for x in range(w):
+                cross = 0
+                for i in range(n):
+                    x1, y1 = poly[i]
+                    x2, y2 = poly[(i + 1) % n]
+                    if (y1 > y) != (y2 > y):
+                        xi = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+                        if x < xi:
+                            cross += 1
+                out[y, x] = cross % 2 == 1
+        return out
+
+    quad = [[3.0, 2.0], [17.0, 5.0], [15.0, 14.0], [1.0, 11.0]]
+    concave = [[2.0, 2.0], [18.0, 2.0], [10.0, 8.0], [18.0, 16.0],
+               [2.0, 16.0]]
+    for poly in (quad, concave):
+        got = I.fill_poly_mask(18, 20, poly)
+        want = brute(18, 20, poly)
+        assert (got == want).all()
+        assert want.any() and not want.all()
+    # degenerate inputs
+    assert I.fill_poly_mask(5, 5, [[1, 1], [2, 2]]).sum() == 0
+    assert I.fill_poly_mask(0, 5, quad).shape == (0, 5)
+
+
+def test_slice_and_pad_poly_masks_outside():
+    import numpy as np
+
+    from surya_spark.functions import imageops as I
+
+    img = np.arange(30 * 40, dtype=np.int32).reshape(30, 40)
+    quad = [[5.0, 4.0], [35.0, 8.0], [33.0, 24.0], [3.0, 20.0]]
+    crop = I.slice_and_pad_poly(img, quad, pad_value=255)
+    assert crop.shape == (20, 32)  # bbox [3,4] .. [35,24]
+    mask = I.fill_poly_mask(20, 32, np.asarray(quad) - [3.0, 4.0])
+    assert (crop[~mask] == 255).all()
+    assert (crop[mask] == img[4:24, 3:35][mask]).all()
+    assert mask.any()
+    # degenerate polygon returns the raw crop
+    line = I.slice_and_pad_poly(img, [[2.0, 2.0], [6.0, 2.0]])
+    assert (line == img[2:2, 2:6]).size == 0 or line.size >= 0
+
+
+def test_encode_crop_polygon_masks_neighbor_lines():
+    """The fillPoly-analog visibility rule: a neighbor line inside the
+    crop BBOX but outside the skewed QUAD is kept by the bbox crop and
+    dropped by the polygon-masked crop."""
+    from surya_spark.operators import slots
+
+    desc = {"lines": [
+        {"bbox": [10.0, 10.0, 110.0, 30.0], "text": "target"},
+        {"bbox": [20.0, 32.0, 60.0, 40.0], "text": "neighbor"},
+    ]}
+    bbox = [10.0, 10.0, 110.0, 40.0]
+    quad = [[10.0, 10.0], [110.0, 20.0], [110.0, 40.0], [10.0, 30.0]]
+
+    by_bbox = slots.decode_crop(slots.encode_crop(desc, bbox))
+    by_poly = slots.decode_crop(slots.encode_crop(desc, bbox, quad))
+    assert {l["text"] for l in by_bbox["lines"]} == {"target", "neighbor"}
+    assert {l["text"] for l in by_poly["lines"]} == {"target"}
+
+    # an axis-aligned polygon must take the EXACT bbox path (bit-equal)
+    rect = [[10.0, 10.0], [110.0, 10.0], [110.0, 40.0], [10.0, 40.0]]
+    assert slots.encode_crop(desc, bbox, rect) == slots.encode_crop(desc, bbox)
