@@ -24,11 +24,11 @@ with no native-library dependency so they run inside any Python worker:
 
 These run INSIDE mapInPandas/applyInPandas slot bodies — per-row numpy
 work on decoded arrays, never on the driver, so everything scales with
-partition count. Interpolation notes: resize is bilinear (half-pixel
-centers, the cv2 INTER_LINEAR convention); the reference uses Lanczos
-for scale_to_fit and cubic for tiling — a deployment that needs those
-exact filters swaps the resize call inside its slot, the surrounding
-logic is identical.
+partition count. Interpolation: all three cv2 filters the reference
+uses are implemented with half-pixel centers and replicated borders —
+INTER_LINEAR (bilinear_resize, logit/heatmap resize), INTER_LANCZOS4
+(lanczos_resize, scale_to_fit), INTER_CUBIC Keys A=-0.75 (cubic_resize,
+patch tiling).
 """
 
 from __future__ import annotations
@@ -357,6 +357,64 @@ def bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return top * (1 - wy_) + bot * wy_
 
 
+def _resample_axis(img: np.ndarray, out_n: int, axis: int,
+                   kernel, support: int) -> np.ndarray:
+    """Separable 1-D resample along `axis` with half-pixel centers and
+    replicated borders (the cv2.resize sampling convention). `kernel` is
+    an even function of tap distance; weights are normalized per output
+    sample, matching cv2's normalized interpolation tables."""
+    in_n = img.shape[axis]
+    scale = in_n / out_n
+    centers = (np.arange(out_n, dtype=np.float64) + 0.5) * scale - 0.5
+    left = np.floor(centers).astype(np.int64) - (support - 1)
+    offs = np.arange(2 * support)
+    idx = left[:, None] + offs[None, :]            # (out_n, taps)
+    w = kernel(idx - centers[:, None])
+    w /= w.sum(axis=1, keepdims=True)
+    idx = np.clip(idx, 0, in_n - 1)
+    moved = np.moveaxis(np.asarray(img, dtype=np.float64), axis, 0)
+    out = np.einsum("ot,ot...->o...", w, moved[idx])
+    return np.moveaxis(out, 0, axis)
+
+
+def _cubic_kernel(x: np.ndarray, A: float = -0.75) -> np.ndarray:
+    """Keys cubic convolution kernel with A=-0.75 — cv2 INTER_CUBIC's
+    constant (exactly reproduces linear functions at any phase)."""
+    ax = np.abs(x)
+    return np.where(
+        ax <= 1.0,
+        (A + 2.0) * ax ** 3 - (A + 3.0) * ax ** 2 + 1.0,
+        np.where(
+            ax < 2.0,
+            A * ax ** 3 - 5.0 * A * ax ** 2 + 8.0 * A * ax - 4.0 * A,
+            0.0,
+        ),
+    )
+
+
+def _lanczos4_kernel(x: np.ndarray) -> np.ndarray:
+    """Lanczos windowed sinc, a=4 — cv2 INTER_LANCZOS4."""
+    ax = np.abs(np.asarray(x, dtype=np.float64))
+    out = np.sinc(ax) * np.sinc(ax / 4.0)
+    return np.where(ax < 4.0, out, 0.0)
+
+
+def cubic_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bicubic resize (Keys A=-0.75, half-pixel centers, replicate
+    border) — cv2.resize INTER_CUBIC, the reference's tiling resize
+    (ref surya/common/surya/processor/__init__.py:200)."""
+    out = _resample_axis(img, out_h, 0, _cubic_kernel, 2)
+    return _resample_axis(out, out_w, 1, _cubic_kernel, 2)
+
+
+def lanczos_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Lanczos-4 resize (half-pixel centers, replicate border) —
+    cv2.resize INTER_LANCZOS4, the reference's scale_to_fit resize
+    (ref surya/common/surya/processor/__init__.py:176-177)."""
+    out = _resample_axis(img, out_h, 0, _lanczos4_kernel, 4)
+    return _resample_axis(out, out_w, 1, _lanczos4_kernel, 4)
+
+
 def double_resize(img: np.ndarray) -> np.ndarray:
     """2x upsample — the highres detection path's double-resolution
     render analog (ref scripts/config.py highres_dpi = 2x dpi)."""
@@ -387,12 +445,17 @@ def scale_to_fit_dims(height: int, width: int,
 
 
 def scale_to_fit(img: np.ndarray, max_size: tuple[int, int],
-                 min_size: tuple[int, int] = (168, 168)) -> np.ndarray:
+                 min_size: tuple[int, int] = (168, 168),
+                 method: str = "lanczos") -> np.ndarray:
+    """Reference uses INTER_LANCZOS4 here
+    (ref surya/common/surya/processor/__init__.py:176-177); pass
+    method="bilinear" for the cheaper filter."""
     h, w = img.shape[:2]
     nh, nw = scale_to_fit_dims(h, w, max_size, min_size)
     if (nh, nw) == (h, w):
         return np.asarray(img, dtype=np.float64)
-    return bilinear_resize(img, nh, nw)
+    resize = lanczos_resize if method == "lanczos" else bilinear_resize
+    return resize(img, nh, nw)
 
 
 def normalize_image(img: np.ndarray, mean, std,
@@ -415,7 +478,9 @@ def patch_tile(img: np.ndarray, patch_size: int,
     hb = math.ceil(h / factor) * factor
     wb = math.ceil(w / factor) * factor
     if (hb, wb) != (h, w):
-        img = bilinear_resize(img, hb, wb)
+        # reference resizes to the tile grid with INTER_CUBIC
+        # (processor/__init__.py:200)
+        img = cubic_resize(img, hb, wb)
     if img.ndim == 2:
         img = img[:, :, None]
     c = img.shape[2]

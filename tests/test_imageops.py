@@ -361,3 +361,92 @@ def test_encode_crop_polygon_masks_neighbor_lines():
     # an axis-aligned polygon must take the EXACT bbox path (bit-equal)
     rect = [[10.0, 10.0], [110.0, 10.0], [110.0, 40.0], [10.0, 40.0]]
     assert slots.encode_crop(desc, bbox, rect) == slots.encode_crop(desc, bbox)
+
+
+def test_cubic_and_lanczos_resize_closed_forms():
+    import numpy as np
+
+    from surya_spark.functions import imageops as I
+
+    rng = np.random.RandomState(11)
+    img = rng.rand(9, 13)
+
+    # same-size = exact copy for cubic (polynomial kernel is exactly
+    # 0/1 at integer distances); lanczos is identity to float precision
+    # (np.sinc(k) ~ 1e-17, not exactly 0)
+    assert np.array_equal(I.cubic_resize(img, 9, 13), img)
+    assert np.allclose(I.lanczos_resize(img, 9, 13), img, atol=1e-12)
+
+    # constant image stays constant under any scale (normalized weights)
+    c = np.full((7, 5), 3.25)
+    for fn in (I.cubic_resize, I.lanczos_resize):
+        assert np.allclose(fn(c, 17, 11), 3.25)
+        assert np.allclose(fn(c, 3, 2), 3.25)
+
+    # Catmull-Rom (A=-0.5) is the 3rd-order member of the Keys family:
+    # it reproduces affine ramps exactly away from borders. (cv2's
+    # A=-0.75 deliberately does not — its phase-0.75 first moment is
+    # -3/64 — so the production kernel is validated against the direct
+    # convolution below, not a ramp.)
+    import functools
+
+    yy, xx = np.mgrid[0:20, 0:30].astype(float)
+    ramp = 2.0 * xx + 3.0 * yy + 1.0
+    cr = functools.partial(I._cubic_kernel, A=-0.5)
+    out = I._resample_axis(
+        I._resample_axis(ramp, 40, 0, cr, 2), 60, 1, cr, 2)
+    yo = (np.arange(40) + 0.5) * 0.5 - 0.5
+    xo = (np.arange(60) + 0.5) * 0.5 - 0.5
+    expect = 2.0 * xo[None, :] + 3.0 * yo[:, None] + 1.0
+    assert np.allclose(out[4:-4, 4:-4], expect[4:-4, 4:-4])
+
+
+def test_resize_matches_direct_convolution():
+    """Both filters == an independent per-pixel direct evaluation of the
+    cv2 sampling convention (half-pixel centers, replicate border,
+    normalized weights)."""
+    import numpy as np
+
+    from surya_spark.functions import imageops as I
+
+    def kernel_cubic(x, A=-0.75):
+        x = abs(x)
+        if x <= 1:
+            return (A + 2) * x**3 - (A + 3) * x**2 + 1
+        if x < 2:
+            return A * x**3 - 5 * A * x**2 + 8 * A * x - 4 * A
+        return 0.0
+
+    def kernel_lanczos(x):
+        if abs(x) >= 4:
+            return 0.0
+        return float(np.sinc(x) * np.sinc(x / 4.0))
+
+    def direct(img, oh, ow, kern, support):
+        ih, iw = img.shape
+        out = np.zeros((oh, ow))
+        for oy in range(oh):
+            cy = (oy + 0.5) * ih / oh - 0.5
+            for ox in range(ow):
+                cx = (ox + 0.5) * iw / ow - 0.5
+                acc = wsum = 0.0
+                for ty in range(int(np.floor(cy)) - support + 1,
+                                int(np.floor(cy)) + support + 1):
+                    for tx in range(int(np.floor(cx)) - support + 1,
+                                    int(np.floor(cx)) + support + 1):
+                        w = kern(ty - cy) * kern(tx - cx)
+                        acc += w * img[min(max(ty, 0), ih - 1),
+                                       min(max(tx, 0), iw - 1)]
+                        wsum += w
+                out[oy, ox] = acc / wsum
+        return out
+
+    rng = np.random.RandomState(3)
+    img = rng.rand(8, 10)
+    for oh, ow in ((13, 17), (5, 6)):
+        got = I.cubic_resize(img, oh, ow)
+        want = direct(img, oh, ow, kernel_cubic, 2)
+        assert np.allclose(got, want, atol=1e-10), ("cubic", oh, ow)
+        got = I.lanczos_resize(img, oh, ow)
+        want = direct(img, oh, ow, kernel_lanczos, 4)
+        assert np.allclose(got, want, atol=1e-10), ("lanczos", oh, ow)
