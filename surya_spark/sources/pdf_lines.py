@@ -30,13 +30,41 @@ PDF_LINES = T.StructType([
 ])
 
 
-def pymupdf_extract(pdf_bytes: bytes) -> list[dict]:  # pragma: no cover
-    """Deployment slot: pymupdf text dict per page →
-    [{page_w, page_h, lines: [[x1,y1,x2,y2], ...]}], sorted reading order
-    (ref benchmark/utils/bbox.py:5-22). pymupdf is not in this sandbox."""
-    raise NotImplementedError(
-        "pymupdf is not present in this container; inject a real extractor "
-        "via pdf_text_lines(extractor=...)")
+def pymupdf_extract(pdf_bytes: bytes) -> list[dict]:
+    """Deployment slot: pymupdf sorted text dict per page →
+    [{page_w, page_h, lines: [[x1,y1,x2,y2], ...]}] in reading order —
+    the reference's get_pdf_lines (ref benchmark/utils/bbox.py:5-22):
+    TEXTFLAGS_DICT minus ligature/image preservation, line bboxes
+    flattened across blocks, page dims from page.bound(). Guarded: runs
+    on a box with pymupdf (test_real_slot_bodies skips-if-absent)."""
+    try:  # pragma: no cover - library absent in this container
+        import fitz
+    except ImportError as e:
+        raise NotImplementedError(
+            "pymupdf is not present in this container; inject a real "
+            "extractor via pdf_text_lines(extractor=...)") from e
+
+    # pragma: no cover - below runs only with the lib
+    flags = (fitz.TEXTFLAGS_DICT
+             & ~fitz.TEXT_PRESERVE_LIGATURES
+             & ~fitz.TEXT_PRESERVE_IMAGES)
+    doc = fitz.open(stream=pdf_bytes, filetype="pdf")
+    try:
+        pages = []
+        for page in doc:
+            blocks = page.get_text("dict", sort=True, flags=flags)["blocks"]
+            lines = [list(ln["bbox"])
+                     for block in blocks
+                     for ln in block.get("lines", [])]
+            r = page.bound()
+            pages.append({
+                "page_w": float(r[2] - r[0]),
+                "page_h": float(r[3] - r[1]),
+                "lines": lines,
+            })
+        return pages
+    finally:
+        doc.close()
 
 
 def fake_pdf_extract(pdf_bytes: bytes) -> list[dict]:

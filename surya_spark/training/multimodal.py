@@ -33,13 +33,47 @@ FEATURES = T.StructType([
 ])
 
 
-def real_image_decode(blob: bytes):  # pragma: no cover - deployment slot
-    """Deployment slot: decode real image bytes (PIL). Not available in
-    this sandbox."""
-    raise NotImplementedError(
-        "image decode requires PIL/opencv — not present in this container; "
-        "inject via media_metadata(decoder=...)"
-    )
+def real_image_decode(blob: bytes) -> dict:
+    """Deployment slot: decode real image bytes to metadata (PIL) — same
+    return contract as _fake_decode, so it plugs straight into
+    media_metadata(decoder=real_image_decode). Guarded: runs on a box
+    with Pillow (test_real_slot_bodies skips-if-absent)."""
+    try:  # pragma: no cover - library absent in this container
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires PIL — not present in this container; "
+            "inject via media_metadata(decoder=...)"
+        ) from e
+
+    import io  # pragma: no cover - below runs only with the lib
+
+    with Image.open(io.BytesIO(blob)) as im:
+        return {
+            "width": int(im.width),
+            "height": int(im.height),
+            "format": (im.format or "unknown").lower(),
+        }
+
+
+def real_image_pixels(blob: bytes):
+    """Deployment slot: image bytes → RGB uint8 ndarray, the reference's
+    Image.open(...).convert("RGB") load
+    (ref surya/input/processing.py:30-33) — the array the imageops
+    kernels (scale_to_fit, patch_tile, slice_and_pad_poly) consume."""
+    try:  # pragma: no cover - library absent in this container
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires PIL — not present in this container"
+        ) from e
+
+    import io  # pragma: no cover - below runs only with the lib
+
+    import numpy as np
+
+    with Image.open(io.BytesIO(blob)) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
 
 
 def _fake_decode(blob: bytes) -> dict:

@@ -107,3 +107,89 @@ def test_torch_backed_slot_end_to_end(spark):
     span_fields = set(
         out.schema["spans"].dataType.elementType.fieldNames())
     assert {"kind", "text", "media_ref", "offset"} <= span_fields
+
+
+def test_real_slot_bodies_raise_cleanly_when_libs_absent():
+    """Everywhere-run guard: when the optional libraries are missing the
+    real bodies must raise NotImplementedError (not ImportError) so a
+    misconfigured deployment fails loudly at the slot, not mid-plan."""
+    from surya_spark.sources import pdf_lines
+    from surya_spark.training import multimodal
+
+    for mod, fn, arg in (
+        ("pypdfium2", slots.render_pdf_pages, b"%PDF-fake"),
+        ("PIL", multimodal.real_image_decode, b"\x89PNG-fake"),
+        ("PIL", multimodal.real_image_pixels, b"\x89PNG-fake"),
+        ("fitz", pdf_lines.pymupdf_extract, b"%PDF-fake"),
+    ):
+        try:
+            __import__(mod)
+        except ImportError:
+            with pytest.raises(NotImplementedError):
+                fn(arg)
+
+
+def test_real_image_decode_body():
+    """Deployment box: PIL-backed decode against a generated PNG."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from surya_spark.training import multimodal
+
+    im = Image.new("RGB", (37, 21), (200, 10, 10))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    meta = multimodal.real_image_decode(buf.getvalue())
+    assert meta == {"width": 37, "height": 21, "format": "png"}
+    arr = multimodal.real_image_pixels(buf.getvalue())
+    assert arr.shape == (21, 37, 3) and arr.dtype.name == "uint8"
+    assert (arr[0, 0] == [200, 10, 10]).all()
+
+
+def test_render_pdf_pages_body():
+    """Deployment box: pypdfium2-backed render of a 1-page PDF generated
+    with PIL; dims must follow the dpi/72 scale of the reference."""
+    Image = pytest.importorskip("PIL.Image")
+    pytest.importorskip("pypdfium2")
+    import io
+
+    im = Image.new("RGB", (144, 72), (255, 255, 255))
+    buf = io.BytesIO()
+    im.save(buf, format="PDF", resolution=72)  # page = 144x72 pt
+    pages = slots.render_pdf_pages(buf.getvalue(), dpi=144)
+    assert len(pages) == 1
+    p = pages[0]
+    assert (p["width"], p["height"]) == (288, 144)  # 144/72 = 2x points
+    assert p["pixels"].shape == (144, 288, 3)
+
+
+def test_pymupdf_extract_body(spark):
+    """Deployment box: fitz-backed text-line extraction through the full
+    pdf_text_lines Spark path (non-unit point->pixel rescale)."""
+    fitz = pytest.importorskip("fitz")
+
+    doc = fitz.open()
+    page = doc.new_page(width=200, height=100)
+    page.insert_text((20, 40), "hello world", fontsize=11)
+    pdf_bytes = doc.tobytes()
+    doc.close()
+
+    from surya_spark.sources import pdf_lines as slots_pdf
+
+    extracted = slots_pdf.pymupdf_extract(pdf_bytes)
+    assert len(extracted) == 1
+    assert extracted[0]["page_w"] == 200.0
+    assert extracted[0]["page_h"] == 100.0
+    assert len(extracted[0]["lines"]) == 1
+
+    df = spark.createDataFrame(
+        [("p1", pdf_bytes, 400, 200)],
+        "media_ref string, img_bytes binary, width int, height int")
+    rows = slots_pdf.pdf_text_lines(
+        df, extractor=slots_pdf.pymupdf_extract).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # 2x rescale with int truncation
+    ex = extracted[0]["lines"][0]
+    assert (r["x1"], r["y1"], r["x2"], r["y2"]) == tuple(
+        float(int(v * 2)) for v in ex)
