@@ -6,6 +6,13 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 Every query is forced to full materialization with the noop sink (count()
 would let Catalyst prune the interesting work). The extraction pipeline
 runs on a synthetic interleaved-docs table scaled to the sf.
+
+Each query runs $SPARK_GRAFT_REPS times (default 2) and the MINIMUM is
+recorded — this box's numbers carry up to ~2x variance from host disk
+state (BENCH.md), so a single sample mixes engine cost with whichever
+iowait window the run hit; min-of-N is the reproducible engine cost and
+matches the measurement protocol the scaling ladders already use. The
+JSON self-describes via "reps".
 """
 
 from __future__ import annotations
@@ -80,14 +87,20 @@ def main() -> None:
             pass
     spark.catalog.clearCache()
 
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
     for name in HEADLINE:
-        t0 = time.time()
-        materialize(qs[name](spark, sf_dir))
-        times[name] = round(time.time() - t0, 3)
-        # operators persist intermediates (fan-out pinning); drop them so
-        # query N+1 isn't taxed by query N's cached RDDs (eviction + GC
-        # inflated later queries by 2x before this)
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            materialize(qs[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+            # operators persist intermediates (fan-out pinning); drop them
+            # so the next run isn't taxed by cached RDDs (eviction + GC
+            # inflated later queries by 2x before this) — this also keeps
+            # repeat runs honest: identical logical plans would otherwise
+            # resolve to InMemoryRelations and measure cache reads
+            spark.catalog.clearCache()
+        times[name] = round(best, 3)
 
     # flagship: end-to-end extraction, sf-scaled synthetic interleaved
     # table. The input is MATERIALIZED to parquet outside the timed region
@@ -100,9 +113,13 @@ def main() -> None:
     blobs = spark.read.parquet(f"{inp}/page_blobs.parquet")
     materialize(pipeline.extract(
         docs.limit(40), blobs, with_tables=True))  # warm same plan shape
-    t0 = time.time()
-    materialize(pipeline.extract(docs, blobs, with_tables=True))
-    times["extract_pipeline"] = round(time.time() - t0, 3)
+    best = float("inf")
+    for _ in range(reps):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        materialize(pipeline.extract(docs, blobs, with_tables=True))
+        best = min(best, time.time() - t0)
+    times["extract_pipeline"] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
@@ -114,6 +131,7 @@ def main() -> None:
         "extract_docs": n_docs,
         "extract_docs_per_sec": round(n_docs / times["extract_pipeline"], 2),
         "cpus": cpus,
+        "reps": reps,
     }))
     spark.stop()
 
