@@ -340,6 +340,43 @@ def q_heatmap_boxes(spark, sf_dir):
                "y2 double, conf double")
 
 
+def q_poly_mask(spark, sf_dir):
+    """Even-odd polygon raster (imageops.fill_poly_mask — the
+    cv2.fillPoly analog behind recognition crop masking, round 4)
+    machine-checked PIXEL-FOR-PIXEL: one 24x30 grid per nation with a
+    deterministic integer-corner parallelogram; the oracle recomputes
+    every pixel's crossing parity with the same IEEE double operations
+    in the same order (xint = x1 + (Y-y1)*(x2-x1)/(y2-y1)), so the
+    compared value is the raster itself, not a summary."""
+    import pandas as pd
+
+    n = _t(spark, sf_dir, "nation").select("n_nationkey")
+
+    def run(batches):
+        from surya_spark.functions import imageops as I
+
+        for pdf in batches:
+            out = []
+            for nk in pdf["n_nationkey"]:
+                nk = int(nk)
+                x = 2 + (nk * 3) % 5
+                y = 2 + (nk * 5) % 4
+                w = 12 + (nk * 7) % 10
+                h = 8 + (nk * 11) % 9
+                s = (nk * 13) % 7
+                poly = [[x + s, y], [x + w + s, y],
+                        [x + w, y + h], [x, y + h]]
+                mask = I.fill_poly_mask(24, 30, poly)
+                for yy in range(24):
+                    for xx in range(30):
+                        out.append((nk, xx, yy, bool(mask[yy, xx])))
+            yield pd.DataFrame(
+                out, columns=["page_id", "x", "y", "inside"])
+
+    return n.mapInPandas(
+        run, schema="page_id int, x int, y int, inside boolean")
+
+
 def q_overlap_pairs(spark, sf_dir):
     b = _boxes(spark, sf_dir).filter(F.col("page_id") < 100)
     a, bb = b.alias("a"), b.alias("b")
@@ -917,6 +954,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_boxes": q_clean_boxes,
         "quad_clean": q_quad_clean,
         "heatmap_boxes": q_heatmap_boxes,
+        "poly_mask": q_poly_mask,
         "overlap_pairs": q_overlap_pairs,
         "reading_order": q_reading_order,
         "merge_boxes_agg": q_merge_boxes_agg,
@@ -1395,6 +1433,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(y0 + h AS DOUBLE) AS y2,
                    round(v / max(v) OVER (PARTITION BY page_id), 6) AS conf
             FROM passed
+        """,
+        # even-odd crossing parity per pixel with the IDENTICAL double
+        # arithmetic as imageops.fill_poly_mask (same operands, same op
+        # order -> bit-identical xint on both engines)
+        "poly_mask": """
+            WITH pages AS (
+              SELECT n_nationkey AS page_id,
+                     2 + (n_nationkey*3)%5 AS x,
+                     2 + (n_nationkey*5)%4 AS y,
+                     12 + (n_nationkey*7)%10 AS w,
+                     8 + (n_nationkey*11)%9 AS h,
+                     (n_nationkey*13)%7 AS s
+              FROM nation
+            ),
+            corners AS (
+              SELECT page_id, 0 AS i, CAST(x+s AS DOUBLE) AS cx,
+                     CAST(y AS DOUBLE) AS cy FROM pages
+              UNION ALL SELECT page_id, 1, CAST(x+w+s AS DOUBLE),
+                     CAST(y AS DOUBLE) FROM pages
+              UNION ALL SELECT page_id, 2, CAST(x+w AS DOUBLE),
+                     CAST(y+h AS DOUBLE) FROM pages
+              UNION ALL SELECT page_id, 3, CAST(x AS DOUBLE),
+                     CAST(y+h AS DOUBLE) FROM pages
+            ),
+            edges AS (
+              SELECT a.page_id, a.cx AS ex1, a.cy AS ey1,
+                     b.cx AS ex2, b.cy AS ey2
+              FROM corners a JOIN corners b
+                ON a.page_id = b.page_id AND b.i = (a.i + 1) % 4
+            ),
+            px AS (
+              SELECT p.page_id, gx.x AS x, gy.y AS y
+              FROM pages p,
+                   generate_series(0, 29) gx(x),
+                   generate_series(0, 23) gy(y)
+            )
+            SELECT CAST(px.page_id AS INT) AS page_id,
+                   CAST(px.x AS INT) AS x, CAST(px.y AS INT) AS y,
+                   (SUM(CASE WHEN (e.ey1 > px.y) <> (e.ey2 > px.y)
+                          AND px.x < e.ex1
+                              + (px.y - e.ey1) * (e.ex2 - e.ex1)
+                                / (e.ey2 - e.ey1)
+                         THEN 1 ELSE 0 END) % 2 = 1) AS inside
+            FROM px JOIN edges e ON e.page_id = px.page_id
+            GROUP BY px.page_id, px.x, px.y
         """,
         # quad containment via the cornerwise predicate (8 comparisons) +
         # shoelace area, mirroring G.poly_contains/poly_area_shoelace

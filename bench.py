@@ -54,6 +54,7 @@ HEADLINE = [
     "embedding_lsh",
     "incremental_dedup",
     "heatmap_boxes",
+    "poly_mask",
 ]
 
 
