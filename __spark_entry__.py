@@ -377,6 +377,41 @@ def q_poly_mask(spark, sf_dir):
         run, schema="page_id int, x int, y int, inside boolean")
 
 
+def q_cubic_resize(spark, sf_dir):
+    """Keys-bicubic resampling (imageops.cubic_resize, cv2 INTER_CUBIC
+    A=-0.75, round 4) oracled EXACTLY: a 2x upscale puts every tap at
+    phase 0.25/0.75, where the Keys weights are dyadic rationals
+    (denominator 256); with dyadic input values (k/32) every product and
+    sum is exact in double regardless of summation order, so scaling by
+    2^21 yields bit-identical BIGINTs on both engines — the round-3
+    dyadic-fixture technique applied to a 16-tap separable filter."""
+    import pandas as pd
+
+    n = _t(spark, sf_dir, "nation").select("n_nationkey")
+
+    def run(batches):
+        import numpy as np
+
+        from surya_spark.functions import imageops as I
+
+        for pdf in batches:
+            out = []
+            for nk in pdf["n_nationkey"]:
+                nk = int(nk)
+                yy, xx = np.mgrid[0:8, 0:10]
+                img = ((nk * 5 + xx * 7 + yy * 11) % 64) / 32.0
+                up = I.cubic_resize(img, 16, 20)
+                for oy in range(16):
+                    for ox in range(20):
+                        out.append((nk, ox, oy,
+                                    int(round(up[oy, ox] * 2097152))))
+            yield pd.DataFrame(
+                out, columns=["page_id", "x", "y", "v21"])
+
+    return n.mapInPandas(
+        run, schema="page_id int, x int, y int, v21 long")
+
+
 def q_overlap_pairs(spark, sf_dir):
     b = _boxes(spark, sf_dir).filter(F.col("page_id") < 100)
     a, bb = b.alias("a"), b.alias("b")
@@ -955,6 +990,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quad_clean": q_quad_clean,
         "heatmap_boxes": q_heatmap_boxes,
         "poly_mask": q_poly_mask,
+        "cubic_resize": q_cubic_resize,
         "overlap_pairs": q_overlap_pairs,
         "reading_order": q_reading_order,
         "merge_boxes_agg": q_merge_boxes_agg,
@@ -1478,6 +1514,66 @@ def oracle_sql() -> dict[str, str]:
                          THEN 1 ELSE 0 END) % 2 = 1) AS inside
             FROM px JOIN edges e ON e.page_id = px.page_id
             GROUP BY px.page_id, px.x, px.y
+        """,
+        # Keys bicubic (A=-0.75) 2x upscale: tap phases 0.25/0.75 make
+        # every weight a dyadic rational (denom 256); dyadic inputs
+        # (k/32) make every product/sum exact in double, so the single
+        # 16-tap double sum here equals the engine's two-pass separable
+        # resample bit-for-bit; x 2^21 -> exact BIGINT
+        "cubic_resize": """
+            WITH pages AS (
+              SELECT CAST(n_nationkey AS INT) AS page_id FROM nation
+            ),
+            img AS (
+              SELECT p.page_id, ix.x AS x, iy.y AS y,
+                     CAST((p.page_id*5 + ix.x*7 + iy.y*11) % 64
+                          AS DOUBLE)/32 AS v
+              FROM pages p,
+                   generate_series(0, 9) ix(x),
+                   generate_series(0, 7) iy(y)
+            ),
+            wx AS (
+              SELECT o.x AS ox,
+                     greatest(0, least(9,
+                       CAST(floor(o.x*0.5 - 0.25) AS BIGINT) - 1 + g.k))
+                       AS xi,
+                     abs((CAST(floor(o.x*0.5 - 0.25) AS BIGINT) - 1 + g.k)
+                         - (o.x*0.5 - 0.25)) AS d
+              FROM generate_series(0, 19) o(x), generate_series(0, 3) g(k)
+            ),
+            wxw AS (
+              SELECT ox, xi,
+                     CASE WHEN d <= 1 THEN 1.25*d*d*d - 2.25*d*d + 1
+                          WHEN d < 2
+                            THEN -0.75*d*d*d + 3.75*d*d - 6*d + 3
+                          ELSE 0 END AS w
+              FROM wx
+            ),
+            wy AS (
+              SELECT o.y AS oy,
+                     greatest(0, least(7,
+                       CAST(floor(o.y*0.5 - 0.25) AS BIGINT) - 1 + g.k))
+                       AS yi,
+                     abs((CAST(floor(o.y*0.5 - 0.25) AS BIGINT) - 1 + g.k)
+                         - (o.y*0.5 - 0.25)) AS d
+              FROM generate_series(0, 15) o(y), generate_series(0, 3) g(k)
+            ),
+            wyw AS (
+              SELECT oy, yi,
+                     CASE WHEN d <= 1 THEN 1.25*d*d*d - 2.25*d*d + 1
+                          WHEN d < 2
+                            THEN -0.75*d*d*d + 3.75*d*d - 6*d + 3
+                          ELSE 0 END AS w
+              FROM wy
+            )
+            SELECT i.page_id,
+                   CAST(wxw.ox AS INT) AS x, CAST(wyw.oy AS INT) AS y,
+                   CAST(round(SUM(wyw.w * wxw.w * i.v) * 2097152)
+                        AS BIGINT) AS v21
+            FROM wxw
+            JOIN img i ON i.x = wxw.xi
+            JOIN wyw ON i.y = wyw.yi
+            GROUP BY i.page_id, wxw.ox, wyw.oy
         """,
         # quad containment via the cornerwise predicate (8 comparisons) +
         # shoelace area, mirroring G.poly_contains/poly_area_shoelace

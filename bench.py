@@ -55,6 +55,7 @@ HEADLINE = [
     "incremental_dedup",
     "heatmap_boxes",
     "poly_mask",
+    "cubic_resize",
 ]
 
 
