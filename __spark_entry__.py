@@ -910,6 +910,84 @@ def q_extract_parity(spark, sf_dir):
     return out.mapInPandas(check, schema=schema)
 
 
+N_SKEW_DOCS = 24
+
+
+def q_extract_skew_parity(spark, sf_dir):
+    """extract_parity driven by ROTATED detection (round-4 fidelity
+    gate): truth lines painted rotated ~2.5 deg, recovered as min-area-
+    rect QUADS by the CRAFT pixel path (imageops), carried CORNERWISE
+    through the fused post-process, crops polygon-MASKED — the span
+    sequence must still match the closed-form expectation per doc.
+    Fewer docs than extract_parity: the rotated paint is surrogate
+    cost, not engine cost."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    def rotated_detect(media_ref, width, height, img_bytes):
+        import numpy as np
+
+        from surya_spark.datagen import decode_page
+        from surya_spark.functions import imageops as I
+
+        desc = decode_page(img_bytes)
+        w, h = int(width), int(height)
+        th = np.radians(2.5)
+        c, s = np.cos(th), np.sin(th)
+        heat = np.zeros((h, w))
+        for i, ln in enumerate(desc["lines"]):
+            x1, y1, x2, y2 = (float(v) for v in ln["bbox"])
+            cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+            pad = int((x2 - x1) * s) + 3
+            wy0, wy1 = max(0, int(y1) - pad), min(h, int(y2) + pad)
+            wx0, wx1 = max(0, int(x1) - pad), min(w, int(x2) + pad)
+            if wy1 <= wy0 or wx1 <= wx0:
+                continue
+            Y, X = np.mgrid[wy0:wy1, wx0:wx1]
+            xr = (X - cx) * c + (Y - cy) * s + cx
+            yr = -(X - cx) * s + (Y - cy) * c + cy
+            m = (xr >= x1) & (xr < x2) & (yr >= y1) & (yr < y2)
+            heat[wy0:wy1, wx0:wx1][m] = 0.7 + 0.05 * (i % 5)
+        boxes, confs = I.detect_boxes_from_heatmap(heat, 0.6, 0.3)
+        return [
+            {"polygon": [[float(x), float(y)] for x, y in box],
+             "confidence": float(cf)}
+            for box, cf in zip(boxes, confs)
+        ]
+
+    docs = datagen.gen_documents(spark, N_SKEW_DOCS, partitions=4)
+    blobs = datagen.gen_page_blobs(spark, N_SKEW_DOCS, partitions=4)
+    out = pipeline.extract(docs, blobs, with_tables=True,
+                           detect_slot=rotated_detect)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("n_spans", T.IntegerType(), False),
+        T.StructField("matches", T.BooleanType(), False),
+    ])
+
+    def check(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                idx = int(doc_id.split("-")[1])
+                expected = datagen.expected_out_spans(idx)
+                got = [
+                    {"kind": s["kind"], "text": s["text"],
+                     "media_ref": s["media_ref"], "offset": int(s["offset"])}
+                    for s in spans
+                ]
+                rows.append({
+                    "doc_id": doc_id, "n_spans": len(got),
+                    "matches": got == expected,
+                })
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {f.name: pd.Series([], dtype=object) for f in schema})
+
+    return out.mapInPandas(check, schema=schema)
+
+
 def q_minhash_lsh(spark, sf_dir):
     # md5lin hash mode: every hash (shingle id, 64 linear permutations,
     # band buckets) is replicated bit-for-bit by the DuckDB oracle, so
@@ -1018,6 +1096,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "extract_pipeline": q_extract_pipeline,
         "extract_parity": q_extract_parity,
+        "extract_skew_parity": q_extract_skew_parity,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "incremental_dedup": q_incremental_dedup,
@@ -1318,6 +1397,8 @@ def oracle_sql() -> dict[str, str]:
                              math.floor(float(feat[1]) * 1e6), 16))
 
     parity_sql = _values_sql(exp_parity, ["doc_id", "n_spans", "matches"])
+    skew_parity_sql = _values_sql(
+        exp_parity[:N_SKEW_DOCS], ["doc_id", "n_spans", "matches"])
     pipeline_sql = _values_sql(
         exp_pipeline, ["doc_id", "offset", "kind", "text", "media_ref"])
     meta_sql = (
@@ -1344,6 +1425,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_pipeline": pipeline_sql,
         "extract_parity": parity_sql,
+        "extract_skew_parity": skew_parity_sql,
         "media_metadata": meta_sql,
         "media_features": feat_sql,
         "text_cleanup": cleanup_sql,

@@ -213,26 +213,48 @@ def dilate_v(img: np.ndarray, k: int, iterations: int = 1) -> np.ndarray:
 
 
 def convex_hull(points: np.ndarray) -> np.ndarray:
-    """Andrew monotone chain. points: (N,2) float; returns CCW hull."""
+    """Andrew monotone chain. points: (N,2) float; returns CCW hull.
+
+    Pixel-cloud inputs (every component pixel from
+    detect_boxes_from_heatmap) are first reduced to per-row x-extremes —
+    a hull vertex must be the min or max x among points sharing its y —
+    dropping N from component AREA to ≤2·height. Together with the
+    scalar cross product (np.cross on 2-vectors pays ~30 µs of
+    axis-bookkeeping per call) this took a dense 4096×1024 page from
+    61 s to milliseconds."""
     pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    if len(pts) > 1024:
+        order = np.argsort(pts[:, 1], kind="mergesort")
+        p = pts[order]
+        yvals, starts = np.unique(p[:, 1], return_index=True)
+        xmin = np.minimum.reduceat(p[:, 0], starts)
+        xmax = np.maximum.reduceat(p[:, 0], starts)
+        pts = np.unique(np.concatenate([
+            np.column_stack([xmin, yvals]),
+            np.column_stack([xmax, yvals]),
+        ]), axis=0)
     if len(pts) <= 2:
         return pts
-    # lexicographic sort by (x, y)
-    order = np.lexsort((pts[:, 1], pts[:, 0]))
-    pts = pts[order]
+    # np.unique(axis=0) already sorted rows lexicographically by (x, y)
+    xs, ys = pts[:, 0].tolist(), pts[:, 1].tolist()
 
-    def half(seq):
-        out: list[np.ndarray] = []
-        for p in seq:
-            while len(out) >= 2 and np.cross(out[-1] - out[-2],
-                                             p - out[-2]) <= 0:
-                out.pop()
-            out.append(p)
+    def half(idx_iter):
+        out: list[int] = []
+        for i in idx_iter:
+            while len(out) >= 2:
+                j, k = out[-2], out[-1]
+                if ((xs[k] - xs[j]) * (ys[i] - ys[j])
+                        - (ys[k] - ys[j]) * (xs[i] - xs[j])) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(i)
         return out
 
-    lower = half(pts)
-    upper = half(pts[::-1])
-    return np.array(lower[:-1] + upper[:-1])
+    n = len(pts)
+    lower = half(range(n))
+    upper = half(range(n - 1, -1, -1))
+    return pts[lower[:-1] + upper[:-1]]
 
 
 def min_area_rect(points: np.ndarray) -> np.ndarray:
