@@ -412,6 +412,38 @@ def q_cubic_resize(spark, sf_dir):
         run, schema="page_id int, x int, y int, v21 long")
 
 
+def q_bilinear_resize(spark, sf_dir):
+    """The logit/heatmap resize (imageops.bilinear_resize, cv2
+    INTER_LINEAR) oracled exactly like cubic_resize: 2x upscale phases
+    are 0/0.25/0.75 — dyadic weights x dyadic inputs -> every 4-tap sum
+    exact in double, compared as 2^9-scaled BIGINTs."""
+    import pandas as pd
+
+    n = _t(spark, sf_dir, "nation").select("n_nationkey")
+
+    def run(batches):
+        import numpy as np
+
+        from surya_spark.functions import imageops as I
+
+        for pdf in batches:
+            out = []
+            for nk in pdf["n_nationkey"]:
+                nk = int(nk)
+                yy, xx = np.mgrid[0:8, 0:10]
+                img = ((nk * 5 + xx * 7 + yy * 11) % 64) / 32.0
+                up = I.bilinear_resize(img, 16, 20)
+                for oy in range(16):
+                    for ox in range(20):
+                        out.append((nk, ox, oy,
+                                    int(round(up[oy, ox] * 512))))
+            yield pd.DataFrame(
+                out, columns=["page_id", "x", "y", "v9"])
+
+    return n.mapInPandas(
+        run, schema="page_id int, x int, y int, v9 long")
+
+
 def q_overlap_pairs(spark, sf_dir):
     b = _boxes(spark, sf_dir).filter(F.col("page_id") < 100)
     a, bb = b.alias("a"), b.alias("b")
@@ -1069,6 +1101,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heatmap_boxes": q_heatmap_boxes,
         "poly_mask": q_poly_mask,
         "cubic_resize": q_cubic_resize,
+        "bilinear_resize": q_bilinear_resize,
         "overlap_pairs": q_overlap_pairs,
         "reading_order": q_reading_order,
         "merge_boxes_agg": q_merge_boxes_agg,
@@ -1656,6 +1689,62 @@ def oracle_sql() -> dict[str, str]:
             JOIN img i ON i.x = wxw.xi
             JOIN wyw ON i.y = wyw.yi
             GROUP BY i.page_id, wxw.ox, wyw.oy
+        """,
+        # bilinear 2x upscale: clamped-floor taps, dyadic weights
+        # (0/0.25/0.75) x dyadic inputs -> exact 4-tap sums; x 2^9
+        "bilinear_resize": """
+            WITH pages AS (
+              SELECT CAST(n_nationkey AS INT) AS page_id FROM nation
+            ),
+            img AS (
+              SELECT p.page_id, ix.x AS x, iy.y AS y,
+                     CAST((p.page_id*5 + ix.x*7 + iy.y*11) % 64
+                          AS DOUBLE)/32 AS v
+              FROM pages p,
+                   generate_series(0, 9) ix(x),
+                   generate_series(0, 7) iy(y)
+            ),
+            tx AS (
+              SELECT o.x AS ox,
+                     greatest(0, least(9,
+                       CAST(floor(o.x*0.5 - 0.25) AS BIGINT))) AS x0,
+                     least(greatest(0, least(9,
+                       CAST(floor(o.x*0.5 - 0.25) AS BIGINT))) + 1, 9)
+                       AS x1,
+                     greatest(0.0, least(1.0,
+                       (o.x*0.5 - 0.25)
+                       - greatest(0, least(9,
+                           CAST(floor(o.x*0.5 - 0.25) AS BIGINT)))))
+                       AS wx
+              FROM generate_series(0, 19) o(x)
+            ),
+            ty AS (
+              SELECT o.y AS oy,
+                     greatest(0, least(7,
+                       CAST(floor(o.y*0.5 - 0.25) AS BIGINT))) AS y0,
+                     least(greatest(0, least(7,
+                       CAST(floor(o.y*0.5 - 0.25) AS BIGINT))) + 1, 7)
+                       AS y1,
+                     greatest(0.0, least(1.0,
+                       (o.y*0.5 - 0.25)
+                       - greatest(0, least(7,
+                           CAST(floor(o.y*0.5 - 0.25) AS BIGINT)))))
+                       AS wy
+              FROM generate_series(0, 15) o(y)
+            )
+            SELECT i00.page_id,
+                   CAST(tx.ox AS INT) AS x, CAST(ty.oy AS INT) AS y,
+                   CAST(round((
+                     (1 - ty.wy) * ((1 - tx.wx) * i00.v + tx.wx * i01.v)
+                     + ty.wy * ((1 - tx.wx) * i10.v + tx.wx * i11.v)
+                   ) * 512) AS BIGINT) AS v9
+            FROM tx, ty
+            JOIN img i00 ON i00.y = ty.y0
+            JOIN img i01 ON i01.page_id = i00.page_id AND i01.y = ty.y0
+            JOIN img i10 ON i10.page_id = i00.page_id AND i10.y = ty.y1
+            JOIN img i11 ON i11.page_id = i00.page_id AND i11.y = ty.y1
+            WHERE i00.x = tx.x0 AND i01.x = tx.x1
+              AND i10.x = tx.x0 AND i11.x = tx.x1
         """,
         # quad containment via the cornerwise predicate (8 comparisons) +
         # shoelace area, mirroring G.poly_contains/poly_area_shoelace
