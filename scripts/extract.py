@@ -1,16 +1,25 @@
-"""spark-submit entry point: full extraction run.
+"""spark-submit entry point: extraction runs, full or per-stage.
 
-Parity with the reference CLIs (surya_ocr / surya_detect / surya_layout /
-surya_table, /root/reference/pyproject.toml:43-47) re-expressed for a
-cluster: input is the interleaved documents table + page-blob table, not
-a local folder; output is the out_spans table plus an optional JSON
-export view; --resume makes the run pick up a killed job's checkpoints.
+Parity with the reference CLIs (/root/reference/pyproject.toml:42-48)
+re-expressed for a cluster — input is the interleaved documents table +
+page-blob table, not a local folder; output is a parquet table per
+stage:
+
+  --stage extract  surya_ocr + tables  → out_spans (default)
+  --stage ocr      surya_ocr           → out_spans, no table cells
+  --stage detect   surya_detect        → line polygons + confidence
+  --stage layout   surya_layout        → regions (label, order, top_k)
+  --stage table    surya_table         → table cells (row/col ids, text)
+  --stage latex    surya_latex_ocr     → whole-page block decode,
+                                         <math>-wrapped text
+
+--checkpoint makes the full-extract run resumable; --json-export adds
+the reference-shaped JSON view of out_spans.
 
 Usage:
   spark-submit --py-files surya_spark.zip scripts/extract.py \
       --documents /data/docs.parquet --blobs /data/blobs.parquet \
-      --out /data/out_spans --checkpoint /data/ckpt \
-      [--json-export /data/results_json] [--no-tables] [--synthetic N]
+      --out /data/out --stage detect [--synthetic N] [--cores N]
 """
 
 from __future__ import annotations
@@ -38,6 +47,9 @@ def main() -> None:
                     help="enable resumable checkpointed run at this base dir")
     ap.add_argument("--json-export", default=None)
     ap.add_argument("--no-tables", action="store_true")
+    ap.add_argument("--stage", default="extract",
+                    choices=["extract", "ocr", "detect", "layout",
+                             "table", "latex"])
     ap.add_argument("--cores", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -53,16 +65,45 @@ def main() -> None:
         blobs = spark.read.parquet(args.blobs)
 
     t0 = time.time()
-    if args.checkpoint:
-        out = pipeline.checkpointed_extract(
-            spark, docs, blobs, args.checkpoint)
+    if args.stage in ("extract", "ocr"):
+        with_tables = args.stage == "extract" and not args.no_tables
+        if args.checkpoint:
+            out = pipeline.checkpointed_extract(
+                spark, docs, blobs, args.checkpoint)
+        else:
+            out = pipeline.extract(docs, blobs, with_tables=with_tables)
+        unit = "docs"
     else:
-        out = pipeline.extract(docs, blobs,
-                               with_tables=not args.no_tables)
+        from surya_spark.operators import (detection, layout,
+                                           reading_order, recognition,
+                                           tables)
+
+        pages = pipeline.pages_for(docs, blobs)
+        if args.stage == "detect":
+            out = detection.detection_stage(pages)
+            unit = "lines"
+        elif args.stage == "layout":
+            out = layout.layout_stage_tiled(pages)
+            unit = "regions"
+        elif args.stage == "latex":
+            out = recognition.recognize_blocks(pages)
+            unit = "blocks"
+        else:  # table
+            pages = pages.persist()
+            ordered = reading_order.order_lines(
+                detection.detection_stage(pages))
+            ocr = recognition.recognize(recognition.slice_crops(
+                ordered.select("media_ref", "line_idx", "position",
+                               "x1", "y1", "x2", "y2", "polygon"),
+                pages))
+            out = tables.table_stage(
+                layout.layout_stage_tiled(pages), pages, ocr)
+            unit = "cells"
     out.write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()
     dt = time.time() - t0
-    print(f"extracted {n} docs in {dt:.1f}s ({n / dt:.1f} docs/s) -> {args.out}")
+    print(f"extracted {n} {unit} in {dt:.1f}s "
+          f"({n / dt:.1f} {unit}/s) -> {args.out}")
 
     if args.json_export:
         json_sink.write_results_json(spark.read.parquet(args.out),

@@ -41,3 +41,27 @@ def test_extract_cli(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "extracted 12 docs" in r.stdout
     assert (tmp_path / "json").exists()
+
+
+def test_stage_cli(tmp_path):
+    """The per-stage CLI modes mirroring the reference's surya_detect /
+    surya_table entry points: detect emits line rows, table emits cell
+    rows, both as parquet."""
+    import pyarrow.parquet as pq
+
+    for stage, unit, cols in (
+        ("detect", "lines", {"media_ref", "line_idx", "polygon",
+                             "confidence"}),
+        ("table", "cells", {"media_ref", "row_id", "col_id"}),
+    ):
+        out = tmp_path / stage
+        r = subprocess.run(
+            [sys.executable, "scripts/extract.py", "--synthetic", "8",
+             "--out", str(out), "--cores", "4", "--stage", stage],
+            capture_output=True, text=True, cwd=".",
+        )
+        assert r.returncode == 0, (stage, r.stderr[-2000:])
+        assert f" {unit} in " in r.stdout, (stage, r.stdout)
+        schema = set(pq.read_schema(
+            next(out.glob("*.parquet")).as_posix()).names)
+        assert cols <= schema, (stage, schema)
