@@ -53,6 +53,79 @@ def stream_extract(
     return writer.start()
 
 
+def stream_incremental_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    index_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    docs_schema=None,
+    threshold: float = 0.5,
+    hash_mode: str = "md5lin",
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+):
+    """Rolling-crawl dedup as a STREAM: new document files land in
+    docs_dir; each micro-batch is flagged novel/near-dup against the
+    accumulated corpus SIGNATURE index (training/dedup.minhash_novelty
+    with corpus_index= — the ~300 B/doc table; corpus text is never
+    re-read), then the batch's NOVEL docs' signatures are appended to
+    the index, so a duplicate arriving two batches later is caught.
+
+    Scale shape: per micro-batch cost = banded equi-join of the batch
+    against the index + one compact parquet append — both ∝ batch, not
+    corpus. Exactly-once on the source comes from the streaming
+    checkpoint; the index append is idempotent-enough for a crawl
+    (a replayed batch re-appends signatures; bucket candidates dedup via
+    DISTINCT, so flags are unaffected). In-batch duplicates are BOTH
+    novel by definition here — in-batch dedup is minhash_lsh_pairs'
+    job, run inside the batch if needed."""
+    from ..training import dedup
+
+    if docs_schema is None:
+        docs_schema = ("doc_id long, text string, lang string, "
+                       "source string, n_chars long")
+    src = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(docs_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        import os
+
+        have_index = any(
+            f.endswith(".parquet") for _, _, fs in os.walk(index_dir)
+            for f in fs
+        ) if os.path.isdir(index_dir) else False
+        if have_index:
+            idx = spark.read.parquet(index_dir)
+            flagged = dedup.minhash_novelty(
+                batch_df, corpus_index=idx,
+                threshold=threshold, hash_mode=hash_mode)
+        else:
+            flagged = batch_df.select(
+                "doc_id", F.lit(0.0).alias("max_est"),
+                F.lit(True).alias("is_novel"))
+        flagged = flagged.persist()
+        flagged.write.mode("append").parquet(out_path)
+        novel = batch_df.join(
+            flagged.filter("is_novel").select("doc_id"), "doc_id",
+            "left_semi")
+        dedup.minhash_index(novel, hash_mode=hash_mode) \
+            .write.mode("append").parquet(index_dir)
+        flagged.unpersist()
+
+    writer = src.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def sessionize_stateful(events_stream: DataFrame,
                         gap_seconds: int = 1800,
                         watermark: str = "2 hours"):

@@ -418,11 +418,28 @@ def _banded(wide: DataFrame, n_hashes: int, bands: int) -> DataFrame:
         "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bucket"))
 
 
-def minhash_novelty(new_docs: DataFrame, corpus_docs: DataFrame,
+def minhash_index(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 3,
+                  n_hashes: int = 64,
+                  hash_mode: str = "md5lin") -> DataFrame:
+    """The compact corpus signature index (doc_id, h0..h{n-1}) — the
+    ~300 B/doc table a rolling crawl materializes ONCE and appends to;
+    feed it to minhash_novelty(corpus_index=) so new batches never
+    re-read or re-shingle corpus text. Streaming analog:
+    streaming/ingest.stream_incremental_dedup."""
+    sh_hash = "md5" if hash_mode == "md5lin" else "xxhash64"
+    return _minhash_wide(
+        shingle_id_rows(docs, text_col, id_col, k, hashed=sh_hash),
+        n_hashes, hash_mode)
+
+
+def minhash_novelty(new_docs: DataFrame,
+                    corpus_docs: DataFrame | None = None,
                     text_col: str = "text", id_col: str = "doc_id",
                     threshold: float = 0.5, k: int = 3,
                     n_hashes: int = 64, bands: int = 16,
-                    hash_mode: str = "md5lin") -> DataFrame:
+                    hash_mode: str = "md5lin",
+                    corpus_index: DataFrame | None = None) -> DataFrame:
     """INCREMENTAL dedup: flag each NEW document as novel or near-dup of
     the EXISTING corpus — the operation a rolling crawl actually runs (a
     new batch never re-pairs the whole corpus with itself).
@@ -440,15 +457,15 @@ def minhash_novelty(new_docs: DataFrame, corpus_docs: DataFrame,
     est values are exact multiples of 1/64 — oracle-replicable without
     tolerance. Output with threshold t: is_novel ⇔ no candidate with
     est ≥ t."""
-    sh_hash = "md5" if hash_mode == "md5lin" else "xxhash64"
+    if (corpus_docs is None) == (corpus_index is None):
+        raise ValueError("pass exactly one of corpus_docs / corpus_index")
     with caching.scope() as (handles, is_owner):
-        new_wide = caching.managed(_minhash_wide(
-            shingle_id_rows(new_docs, text_col, id_col, k, hashed=sh_hash),
-            n_hashes, hash_mode))
-        corp_wide = caching.managed(_minhash_wide(
-            shingle_id_rows(corpus_docs, text_col, id_col, k,
-                            hashed=sh_hash),
-            n_hashes, hash_mode))
+        new_wide = caching.managed(minhash_index(
+            new_docs, text_col, id_col, k, n_hashes, hash_mode))
+        corp_wide = caching.managed(
+            corpus_index if corpus_index is not None
+            else minhash_index(corpus_docs, text_col, id_col, k,
+                               n_hashes, hash_mode))
         cand = (
             _banded(new_wide, n_hashes, bands).alias("n")
             .join(_banded(corp_wide, n_hashes, bands).alias("c")

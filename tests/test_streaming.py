@@ -79,3 +79,53 @@ def test_sessionize_stateful(spark, tmp_path):
     # the 2:00 event); open sessions stay in state until timeout
     closed = {(r["user_id"], r["n_events"]) for r in rows}
     assert (1, 2) in closed
+
+
+def test_stream_incremental_dedup(spark, tmp_path):
+    """Rolling-crawl dedup stream: flags come from the accumulated
+    signature index — a duplicate of a CORPUS doc and a duplicate of an
+    EARLIER BATCH's doc are both caught; fresh docs are novel."""
+    import time
+
+    docs_dir = str(tmp_path / "incoming")
+    index_dir = str(tmp_path / "index")
+    out_dir = str(tmp_path / "flags")
+    ckpt = str(tmp_path / "ckpt")
+
+    def docs_df(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", "crawl", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long")
+
+    from surya_spark.training import dedup
+
+    text_corpus = "the old corpus document about rivers and stones"
+    text_a = "alpha beta gamma delta epsilon zeta eta theta"
+    text_b = "completely different words describing mountain weather"
+    text_c = "yet another unrelated text on ocean currents today"
+
+    # seed the corpus signature index (the ~300 B/doc table)
+    dedup.minhash_index(docs_df([(100, text_corpus)])) \
+        .write.parquet(index_dir)
+
+    docs_df([(1, text_a), (2, text_b)]).coalesce(1) \
+        .write.mode("append").parquet(docs_dir)
+    time.sleep(1.1)  # file-source ordering is by modification time
+    docs_df([(3, text_a), (4, text_c), (5, text_corpus)]).coalesce(1) \
+        .write.mode("append").parquet(docs_dir)
+
+    q = ingest.stream_incremental_dedup(
+        spark, docs_dir, index_dir, out_dir, ckpt, threshold=0.5)
+    q.awaitTermination(180)
+
+    flags = {r["doc_id"]: r["is_novel"]
+             for r in spark.read.parquet(out_dir).collect()}
+    assert flags == {1: True, 2: True,
+                     3: False,   # dup of batch-1 doc 1 -> index grew
+                     4: True,
+                     5: False}   # dup of the seeded corpus doc
+    # novel docs (and only they) joined the index
+    idx_ids = {r["doc_id"]
+               for r in spark.read.parquet(index_dir).collect()}
+    assert idx_ids == {100, 1, 2, 4}
