@@ -151,12 +151,53 @@ _OCR_OUT = T.StructType([
 ])
 
 
+def _continuous_schedule(blobs: list, tasks: list, step_slot,
+                         n_slots: int,
+                         min_prefill_ratio: float = 0.2) -> list[dict]:
+    """The reference's continuous-batching prediction loop
+    (/root/reference/surya/recognition/__init__.py:501-607) with
+    IN-FLIGHT SLOT REPLACEMENT, model-free: n_slots decoder slots; when
+    the empty-slot fraction exceeds min_prefill_ratio and items wait,
+    prefill admits them into the free slots; otherwise one step advances
+    every in-flight sequence, and a finished sequence frees its slot
+    IMMEDIATELY for the next admission — short sequences never wait for
+    the longest one in their batch, which is the whole point vs padded
+    fixed batches. Items should arrive width-descending (the admission
+    order the caller's sort provides). Returns results in input order."""
+    from collections import deque
+
+    n = len(blobs)
+    queue = deque(range(n))
+    slots_arr: list = [None] * n_slots  # (item_idx, state) or None
+    results: list = [None] * n
+    while queue or any(s is not None for s in slots_arr):
+        empty = [b for b, s in enumerate(slots_arr) if s is None]
+        if queue and (len(empty) / n_slots) > min_prefill_ratio:
+            admit = [queue.popleft()
+                     for _ in range(min(len(empty), len(queue)))]
+            states = step_slot.prefill([blobs[i] for i in admit],
+                                       [tasks[i] for i in admit])
+            for b, i, st in zip(empty, admit, states):
+                slots_arr[b] = (i, st)
+            continue
+        active = [(b, i, st) for b, s in enumerate(slots_arr)
+                  if s is not None for i, st in [s]]
+        done = step_slot.step([st for _, _, st in active])
+        for d, (b, i, st) in zip(done, active):
+            if d:
+                results[i] = step_slot.result(st)
+                slots_arr[b] = None
+    return results
+
+
 def recognize(crops: DataFrame,
               slot: Callable = slots.surrogate_recognize,
               task: str = "ocr_with_boxes",
               emit_chars: bool = True,
               batch_slot: Callable | None = None,
-              micro_batch: int = 64) -> DataFrame:
+              micro_batch: int = 64,
+              step_slot=None,
+              rec_slots: int = 64) -> DataFrame:
     """crop blobs → ocr_lines. Width-descending sort within partitions
     mirrors the reference's batch admission order
     (/root/reference/surya/recognition/__init__.py:847-854) — a physical
@@ -181,7 +222,17 @@ def recognize(crops: DataFrame,
     in-flight sequence replacement it adds on top only matters for a
     shared KV cache, which per-batch decoding doesn't keep). Signature:
     batch_slot(blobs: list[bytes], tasks: list[str]) -> list[dict], one
-    result dict per input in order."""
+    result dict per input in order.
+
+    step_slot: the FULL continuous-batching analog with in-flight slot
+    replacement (_continuous_schedule; ref prediction_loop,
+    recognition/__init__.py:501-607) — a prefill/step/result object
+    (slots.SurrogateStepRecognizer documents the contract); rec_slots =
+    the decoder slot count (the reference's recognition_batch_size).
+    Mutually exclusive with batch_slot; per-row outputs are pinned
+    byte-identical to the plain path across slot schedules."""
+    if batch_slot is not None and step_slot is not None:
+        raise ValueError("pass at most one of batch_slot / step_slot")
     sorted_crops = crops.sortWithinPartitions((F.col("x2") - F.col("x1")).desc())
     has_task_col = "task" in crops.columns
 
@@ -202,6 +253,10 @@ def recognize(crops: DataFrame,
                     results.extend(
                         batch_slot(blobs[s:s + micro_batch],
                                    tlist[s:s + micro_batch]))
+            elif step_slot is not None:
+                results = _continuous_schedule(
+                    [bytes(b) for b in pdf["crop_bytes"]], list(tasks),
+                    step_slot, rec_slots)
             else:
                 results = None
             for i, (ref, li, pos, x1, y1, x2, y2, blob, tk, rx, ry) in \

@@ -217,6 +217,46 @@ def surrogate_recognize_batch(blobs: list[bytes],
     return [surrogate_recognize(b, t) for b, t in zip(blobs, tasks)]
 
 
+class SurrogateStepRecognizer:
+    """Step-wise recognizer surrogate for the continuous-batching
+    scheduler (recognition._continuous_schedule; ref
+    /root/reference/surya/recognition/__init__.py:501-607). The
+    three-callable contract a GPU deployment fills with real tensors:
+
+      prefill(blobs, tasks) -> list[state]   # encoder pass + KV-cache
+                                             # rows for newly admitted
+      step(states) -> list[done: bool]       # ONE decoder step for the
+                                             # in-flight batch, each
+                                             # state advances one token
+      result(state) -> result dict           # detokenize a finished seq
+
+    The surrogate decodes the whole crop at prefill and replays it one
+    character per step, so sequence lengths (and therefore slot
+    lifetimes) match the text the batch path produces — the scheduler's
+    output must be byte-identical to the per-crop path, pytest-pinned.
+    Call counters expose the step count for the padding-waste test."""
+
+    def __init__(self):
+        self.prefill_calls = 0
+        self.step_calls = 0
+
+    def prefill(self, blobs: list[bytes], tasks: list[str]) -> list[dict]:
+        self.prefill_calls += 1
+        return [{"r": surrogate_recognize(b, t), "pos": 0}
+                for b, t in zip(blobs, tasks)]
+
+    def step(self, states: list[dict]) -> list[bool]:
+        self.step_calls += 1
+        done = []
+        for st in states:
+            st["pos"] += 1
+            done.append(st["pos"] >= len(st["r"]["text"]))
+        return done
+
+    def result(self, state: dict) -> dict:
+        return state["r"]
+
+
 # --------------------------------------------------------------------- layout
 def surrogate_layout(media_ref: str, width: int, height: int,
                      img_bytes: bytes) -> list[dict]:

@@ -124,3 +124,69 @@ def test_batch_slot_matches_per_row_path(spark):
         key=key)
     assert batched == per_row
     assert len(per_row) > 3  # micro-batch boundary actually crossed
+
+
+def test_step_slot_equivalence_through_spark(spark):
+    """Continuous batching with in-flight slot replacement must produce
+    byte-identical rows to the plain per-crop path, at a slot count that
+    forces many admission waves."""
+    from surya_spark.operators import detection, reading_order, slots
+
+    pages = _pages(spark)
+    ordered = reading_order.order_lines(detection.detection_stage(pages))
+    crops = recognition.slice_crops(
+        ordered.select("media_ref", "line_idx", "position",
+                       "x1", "y1", "x2", "y2", "polygon"), pages)
+
+    def rows(df):
+        return sorted(
+            (r["media_ref"], r["line_idx"], r["position"], r["text"],
+             round(r["confidence"], 12))
+            for r in df.collect())
+
+    plain = rows(recognition.recognize(crops))
+    stepped = rows(recognition.recognize(
+        crops, step_slot=slots.SurrogateStepRecognizer(), rec_slots=4))
+    assert stepped == plain and len(plain) > 0
+
+
+def test_continuous_schedule_slot_replacement_beats_padded_batches():
+    """Direct scheduler test with adversarial lengths: one 100-token
+    sequence + 31 two-token sequences. Fixed padded batches of 4 pay
+    100 + 7*2 = 114 steps; in-flight replacement lets the three free
+    slots chew every short item while the long one decodes, so total
+    steps == the longest sequence."""
+
+    class LenSlot:
+        def __init__(self):
+            self.prefill_calls = 0
+            self.step_calls = 0
+
+        def prefill(self, lens, tasks):
+            self.prefill_calls += 1
+            return [{"len": ln, "pos": 0} for ln in lens]
+
+        def step(self, states):
+            self.step_calls += 1
+            out = []
+            for st in states:
+                st["pos"] += 1
+                out.append(st["pos"] >= st["len"])
+            return out
+
+        def result(self, st):
+            return {"len": st["len"], "pos": st["pos"]}
+
+    lens = [100] + [2] * 31
+    slot = LenSlot()
+    res = recognition._continuous_schedule(
+        lens, ["ocr_with_boxes"] * len(lens), slot, n_slots=4,
+        min_prefill_ratio=0.2)
+    # every item decoded to completion, in input order
+    assert [r["len"] for r in res] == lens
+    assert all(r["pos"] == r["len"] for r in res)
+    naive_steps = sum(
+        max(lens[i:i + 4]) for i in range(0, len(lens), 4))  # 114
+    assert slot.step_calls == 100  # the long sequence alone bounds it
+    assert slot.step_calls < naive_steps
+    assert slot.prefill_calls > 2  # freed slots re-admitted mid-flight
