@@ -79,7 +79,9 @@ def stream_incremental_dedup(
     (a replayed batch re-appends signatures; bucket candidates dedup via
     DISTINCT, so flags are unaffected). In-batch duplicates are BOTH
     novel by definition here — in-batch dedup is minhash_lsh_pairs'
-    job, run inside the batch if needed."""
+    job, run inside the batch if needed. Long-running crawls should
+    compact the index dir periodically (one small file lands per batch;
+    at Delta/Iceberg deployments the table format's OPTIMIZE does it)."""
     from ..training import dedup
 
     if docs_schema is None:
