@@ -153,7 +153,8 @@ _OCR_OUT = T.StructType([
 
 def _continuous_schedule(blobs: list, tasks: list, step_slot,
                          n_slots: int,
-                         min_prefill_ratio: float = 0.2) -> list[dict]:
+                         min_prefill_ratio: float = 0.2,
+                         max_steps: int = 100_000) -> list[dict]:
     """The reference's continuous-batching prediction loop
     (/root/reference/surya/recognition/__init__.py:501-607) with
     IN-FLIGHT SLOT REPLACEMENT, model-free: n_slots decoder slots; when
@@ -163,14 +164,24 @@ def _continuous_schedule(blobs: list, tasks: list, step_slot,
     IMMEDIATELY for the next admission — short sequences never wait for
     the longest one in their batch, which is the whole point vs padded
     fixed batches. Items should arrive width-descending (the admission
-    order the caller's sort provides). Returns results in input order."""
+    order the caller's sort provides). Returns results in input order.
+
+    max_steps bounds a slot implementation that never reports done —
+    the scheduler-side analog of the reference's batch_max_tokens cap
+    (a real deployment's step() should ALSO self-limit per sequence)."""
     from collections import deque
 
     n = len(blobs)
     queue = deque(range(n))
     slots_arr: list = [None] * n_slots  # (item_idx, state) or None
     results: list = [None] * n
+    steps = 0
     while queue or any(s is not None for s in slots_arr):
+        if steps > max_steps:
+            raise RuntimeError(
+                f"continuous scheduler exceeded max_steps={max_steps}; "
+                "the step slot is not finishing sequences")
+        steps += 1
         empty = [b for b, s in enumerate(slots_arr) if s is None]
         if queue and (len(empty) / n_slots) > min_prefill_ratio:
             admit = [queue.popleft()

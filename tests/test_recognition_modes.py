@@ -190,3 +190,22 @@ def test_continuous_schedule_slot_replacement_beats_padded_batches():
     assert slot.step_calls == 100  # the long sequence alone bounds it
     assert slot.step_calls < naive_steps
     assert slot.prefill_calls > 2  # freed slots re-admitted mid-flight
+
+
+def test_continuous_schedule_runaway_guard():
+    """A step slot that never finishes must raise, not spin forever."""
+    import pytest
+
+    class NeverDone:
+        def prefill(self, items, tasks):
+            return [{} for _ in items]
+
+        def step(self, states):
+            return [False] * len(states)
+
+        def result(self, st):
+            return {}
+
+    with pytest.raises(RuntimeError, match="max_steps"):
+        recognition._continuous_schedule(
+            [1, 2], ["t", "t"], NeverDone(), n_slots=2, max_steps=50)
