@@ -32,8 +32,10 @@ run):
     (per-band bits ~ log2 N); measured at 8 bits and 12 bits.
 
 Usage:
-  python tools/sf1_evidence.py [src_sf_dir] [work_dir] [reps]
-Defaults: /root/testdata/sf0.1 /tmp/sf1_evidence 2
+  python tools/sf1_evidence.py [src_sf_dir] [work_dir] [reps] [replicas]
+Defaults: /root/testdata/sf0.1 /tmp/sf1_evidence 2 10
+replicas=100 gives the second decade (x100 corpus); the ANN knobs scale
+with it (IVF centroids ~ corpus, LSH band bits ~ log2 corpus).
 """
 
 from __future__ import annotations
@@ -56,12 +58,30 @@ TIMED = ["exact_dedup", "ngram_jaccard", "minhash_lsh", "simhash_pairs",
          "incremental_dedup", "knn_bruteforce", "knn_ivf",
          "embedding_lsh", "curate_corpus"]
 
-REPLICAS = 10
 OFFSET = 10_000_000
 
 
-def build_scaled(spark, src_dir: str, out_dir: str) -> None:
-    """Materialize the x10 documents/embeddings tables (idempotent)."""
+def _rep_tag(r: int) -> str:
+    """Replica word suffix: pure letters (tokenization-proof). r<=26
+    keeps the original zza..zz? scheme the x10 records used."""
+    if r <= 26:
+        return "zz" + chr(96 + r)
+    s = ""
+    while r:
+        s = chr(97 + r % 26) + s
+        r //= 26
+    return "zz" + s
+
+
+def extra_lsh_bits(scale: int) -> int:
+    import math
+
+    return max(1, math.ceil(math.log2(max(2, scale))))
+
+
+def build_scaled(spark, src_dir: str, out_dir: str,
+                 replicas: int) -> None:
+    """Materialize the xN documents/embeddings tables (idempotent)."""
     if os.path.exists(f"{out_dir}/embeddings.parquet"):
         return
     docs = spark.read.parquet(f"{src_dir}/documents.parquet")
@@ -75,7 +95,7 @@ def build_scaled(spark, src_dir: str, out_dir: str) -> None:
                 if r == 0:
                     text = row["text"]
                 else:
-                    tag = "zz" + chr(96 + r)  # zza..zzi
+                    tag = _rep_tag(r)
                     text = " ".join(
                         w + tag for w in (row["text"] or "").split(" "))
                 out.append({
@@ -88,7 +108,7 @@ def build_scaled(spark, src_dir: str, out_dir: str) -> None:
             yield pd.DataFrame(
                 out, columns=["doc_id", "text", "lang", "source", "n_chars"])
 
-    reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    reps = spark.range(replicas).select(F.col("id").alias("rep"))
     (docs.crossJoin(F.broadcast(reps))
          .repartition(64)
          .mapInPandas(salt_run, schema="doc_id long, text string, "
@@ -103,9 +123,15 @@ def build_scaled(spark, src_dir: str, out_dir: str) -> None:
             for _, row in pdf.iterrows():
                 r = int(row["rep"])
                 v = list(row["embedding"])
+                k = r % len(v)
+                rolled = v[-k:] + v[:-k] if k else list(v)
+                # beyond a full rotation, negate: a roll of dim is the
+                # identity, which would duplicate replica 0's vectors
+                if (r // len(v)) % 2:
+                    rolled = [-x for x in rolled]
                 out.append({
                     "vec_id": int(row["vec_id"]) + r * OFFSET,
-                    "embedding": v[-r:] + v[:-r] if r else v,
+                    "embedding": rolled,
                     "label": int(row["label"]),
                 })
             yield pd.DataFrame(out, columns=["vec_id", "embedding", "label"])
@@ -128,7 +154,8 @@ def _c2(df, *keys) -> tuple[int, int]:
     return int(agg["pairs"] or 0), int(agg["mx"] or 0)
 
 
-def telemetry(spark, sf_dir: str) -> dict:
+def telemetry(spark, sf_dir: str, cent_scaled: int = 80,
+              planes_scaled: int = 48) -> dict:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out: dict = {"docs": docs.count(), "vectors": emb.count()}
@@ -169,7 +196,7 @@ def telemetry(spark, sf_dir: str) -> dict:
         out["incremental_cand_pairs"] / max(1, n_new_docs), 2)
 
     # --- IVF probe fan-out (q_knn_ivf: nprobe=2, queries = all vectors)
-    for label, n_cent in (("ivf8", 8), ("ivf80", 80)):
+    for label, n_cent in (("ivf_fixed", 8), ("ivf_scaled", cent_scaled)):
         cents = emb.filter(F.col("vec_id") < n_cent).select(
             F.col("vec_id").alias("centroid_id"), "embedding")
         assigned = similarity.assign_clusters(emb, cents, dim=64, nprobe=2)
@@ -181,8 +208,9 @@ def telemetry(spark, sf_dir: str) -> dict:
         out[f"{label}_probe_per_query"] = round(
             out[f"{label}_probe_fanout"] / out["vectors"], 1)
 
-    # --- embedding LSH bucket pairs at 8-bit and 12-bit bands
-    for label, n_planes in (("lsh8bit", 32), ("lsh12bit", 48)):
+    # --- embedding LSH bucket pairs at fixed (8-bit) and scaled bands
+    for label, n_planes in (("lsh_fixed", 32), ("lsh_scaled",
+                                                planes_scaled)):
         planes = similarity.random_hyperplanes(n_planes, 64)
         per_band = n_planes // 4
         bit_cols = []
@@ -225,9 +253,10 @@ def timings(spark, sf_dir: str, reps: int, scale: int) -> dict:
         return similarity.knn_ivf(emb, cents, k=3, dim=64, nprobe=2)
 
     def lsh():
+        planes = (32 if scale == 1
+                  else 32 + 4 * extra_lsh_bits(scale))
         return similarity.embedding_lsh_pairs(
-            emb, threshold=0.3, dim=64,
-            n_planes=32 if scale == 1 else 48)
+            emb, threshold=0.3, dim=64, n_planes=planes)
 
     times = {}
     for name in TIMED:
@@ -252,22 +281,29 @@ def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_evidence"
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    replicas = int(sys.argv[4]) if len(sys.argv) > 4 else 10
 
     spark = get_spark(app="sf1_evidence", cores=32, shuffle_partitions=32)
-    x10_dir = f"{work}/x10"
-    build_scaled(spark, src, x10_dir)
+    xn_dir = f"{work}/x{replicas}"
+    build_scaled(spark, src, xn_dir, replicas)
 
+    cent_scaled = 8 * replicas
+    planes_scaled = 32 + 4 * extra_lsh_bits(replicas)
     result = {}
-    for label, d, scale in (("x1", src, 1), ("x10", x10_dir, 10)):
-        result[label] = {"telemetry": telemetry(spark, d),
-                         "times": timings(spark, d, reps, scale)}
+    for label, d, scale in (("x1", src, 1),
+                            (f"x{replicas}", xn_dir, replicas)):
+        result[label] = {
+            "telemetry": telemetry(spark, d, cent_scaled, planes_scaled),
+            "times": timings(spark, d, reps, scale),
+        }
         print(json.dumps({label: result[label]}), flush=True)
 
     growth = {}
-    t1, t10 = result["x1"]["telemetry"], result["x10"]["telemetry"]
+    t1 = result["x1"]["telemetry"]
+    tn = result[f"x{replicas}"]["telemetry"]
     for k in t1:
         if isinstance(t1[k], (int, float)) and t1[k]:
-            growth[k] = round(t10[k] / t1[k], 2)
+            growth[k] = round(tn[k] / t1[k], 2)
     print(json.dumps({"growth": growth}), flush=True)
     spark.stop()
 
