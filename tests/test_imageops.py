@@ -450,3 +450,87 @@ def test_resize_matches_direct_convolution():
         got = I.lanczos_resize(img, oh, ow)
         want = direct(img, oh, ow, kernel_lanczos, 4)
         assert np.allclose(got, want, atol=1e-10), ("lanczos", oh, ow)
+
+
+def test_min_area_rect_properties_random():
+    """Property guard for the row-reduced hull path: for random point
+    clouds (including >1024-point pixel clouds that trigger the
+    reduction), the min-area rect must (a) contain every input point and
+    (b) never beat the axis-aligned bbox by containing less, i.e. its
+    area is <= bbox area and >= hull area."""
+    import numpy as np
+
+    from surya_spark.functions import imageops as I
+
+    def check(pts):
+        box = I.min_area_rect(pts)
+        # area via shoelace
+        x, y = box[:, 0], box[:, 1]
+        area = abs(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y)) / 2
+        bw = pts[:, 0].max() - pts[:, 0].min()
+        bh = pts[:, 1].max() - pts[:, 1].min()
+        assert area <= bw * bh + 1e-6
+        # containment: every point inside the rect (within eps) — check
+        # via the rect's edge half-planes (box is clockwise in image
+        # coords, y down, so inside = left-or-on of each directed edge
+        # under the standard cross sign with y flipped; use both signs)
+        for i in range(4):
+            a, b = box[i], box[(i + 1) % 4]
+            cr = ((b[0] - a[0]) * (pts[:, 1] - a[1])
+                  - (b[1] - a[1]) * (pts[:, 0] - a[0]))
+            assert (cr >= -1e-6).all() or (cr <= 1e-6).all(), i
+
+    rng = np.random.RandomState(42)
+    for n in (5, 50, 300):
+        for _ in range(5):
+            check(rng.rand(n, 2) * 100)
+    # pixel-cloud sized: rotated dense rectangle (> 1024 points triggers
+    # the per-row reduction) — min rect area must be close to the true
+    # rotated rect area, far below the bbox area
+    th = np.radians(20)
+    c, s = np.cos(th), np.sin(th)
+    yy, xx = np.mgrid[0:30, 0:120].reshape(2, -1).astype(float)
+    pts = np.column_stack([xx * c - yy * s + 200, xx * s + yy * c + 200])
+    box = I.min_area_rect(pts)
+    e1 = np.linalg.norm(box[0] - box[1])
+    e2 = np.linalg.norm(box[1] - box[2])
+    true_area = 119 * 29  # extents of the generated grid
+    assert abs(e1 * e2 - true_area) / true_area < 0.1
+    bw = pts[:, 0].max() - pts[:, 0].min()
+    bh = pts[:, 1].max() - pts[:, 1].min()
+    assert e1 * e2 < 0.8 * bw * bh  # genuinely rotated, not the bbox
+    check(pts)
+
+
+def test_fill_poly_mask_property_random_quads():
+    """Hypothesis-style sweep: random sheared rectangles (always simple
+    polygons) — vectorized raster == per-pixel crossing test."""
+    import numpy as np
+
+    from surya_spark.functions import imageops as I
+
+    def brute(h, w, poly):
+        out = np.zeros((h, w), dtype=bool)
+        n = len(poly)
+        for y in range(h):
+            for x in range(w):
+                cross = 0
+                for i in range(n):
+                    x1, y1 = poly[i]
+                    x2, y2 = poly[(i + 1) % n]
+                    if (y1 > y) != (y2 > y):
+                        xi = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+                        if x < xi:
+                            cross += 1
+                out[y, x] = cross % 2 == 1
+        return out
+
+    rng = np.random.RandomState(9)
+    for _ in range(12):
+        x0, y0 = rng.randint(0, 6, 2)
+        w0, h0 = rng.randint(4, 12, 2)
+        sx, sy = rng.randint(-4, 5, 2)
+        poly = [[x0 + sx, y0], [x0 + w0 + sx, y0 + sy],
+                [x0 + w0, y0 + h0 + sy], [x0, y0 + h0]]
+        got = I.fill_poly_mask(20, 22, poly)
+        assert (got == brute(20, 22, poly)).all(), poly
