@@ -63,6 +63,48 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def extract_stage_times(spark, docs, blobs, par: int) -> dict[str, float]:
+    """Single-sample marginal wall time per flagship stage, upstream
+    stages persisted+materialized first — the decomposition the round-4
+    verdict asked for so an extract_pipeline move can be attributed to a
+    stage instead of narrated. Single-shot by design: min-of-reps would
+    read the persisted upstream cache on rep 2 and time nothing; treat
+    each number as a sample with BENCH.md's documented host-disk
+    variance, and the min-of-reps end-to-end figure as the headline."""
+    from surya_spark import pipeline as P
+    from surya_spark.operators import (assemble, detection, layout,
+                                       reading_order, recognition, tables)
+
+    st: dict[str, float] = {}
+    cached = []
+
+    def step(name, df):
+        df = df.persist()
+        cached.append(df)
+        t0 = time.time()
+        materialize(df)
+        st[name] = round(time.time() - t0, 3)
+        return df
+
+    pages = step("pages", P.pages_for(docs, blobs, partitions=par))
+    ordered = step("detect_order",
+                   reading_order.order_lines(detection.detection_stage(pages)))
+    crops = step("slice_mask", recognition.slice_crops(
+        ordered.select("media_ref", "line_idx", "position",
+                       "x1", "y1", "x2", "y2", "polygon"), pages))
+    ocr = step("recognize",
+               recognition.recognize(crops, emit_chars=False))
+    regions = step("layout", layout.layout_stage_tiled(pages))
+    cells = step("table", tables.table_stage(regions, pages, ocr))
+    t0 = time.time()
+    materialize(assemble.assemble_spans(docs, ocr, cells))
+    st["assemble"] = round(time.time() - t0, 3)
+    for df in cached:
+        df.unpersist()
+    st["stage_total"] = round(sum(st.values()), 3)
+    return st
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -123,6 +165,10 @@ def main() -> None:
         best = min(best, time.time() - t0)
     times["extract_pipeline"] = round(best, 3)
 
+    spark.catalog.clearCache()
+    stages = extract_stage_times(spark, docs, blobs, par=cpus)
+    spark.catalog.clearCache()
+
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "total_headline_sec",
@@ -132,6 +178,7 @@ def main() -> None:
         "sf": sf,
         "extract_docs": n_docs,
         "extract_docs_per_sec": round(n_docs / times["extract_pipeline"], 2),
+        "extract_stages": stages,
         "cpus": cpus,
         "reps": reps,
     }))

@@ -44,7 +44,8 @@ _CROPS = T.StructType([
 
 
 def slice_crops(lines: DataFrame, pages: DataFrame,
-                highres_pages: DataFrame | None = None) -> DataFrame:
+                highres_pages: DataFrame | None = None,
+                null_axis_rects: bool = True) -> DataFrame:
     """lines(media_ref, line_idx, position, bbox) ⋈ page blobs → crop blobs.
 
     The aggregate-then-join keeps the shuffle payload to bbox lists; page
@@ -54,7 +55,10 @@ def slice_crops(lines: DataFrame, pages: DataFrame,
     struct and each crop is polygon-MASKED (encode_crop's fillPoly
     analog; ref surya/input/processing.py:57-101): skewed quads from
     rotated text stop leaking neighbor-line ink into recognition.
-    Axis-aligned polygons are bit-identical to the bbox-only path.
+    Axis-aligned polygons are bit-identical to the bbox-only path —
+    and with null_axis_rects=True (default) they are NULLed out before
+    the aggregate as a pure payload optimization (pytest-pinned
+    bit-equal; the flag exists only for A/B measurement).
 
     With highres_pages (a second blob table of the SAME pages at higher
     resolution — the reference's 192-DPI render), crops are taken from the
@@ -68,6 +72,31 @@ def slice_crops(lines: DataFrame, pages: DataFrame,
     (column pruning keeps them out of the scan)."""
     has_poly = "polygon" in lines.columns
     box_cols = ["line_idx", "position", "x1", "y1", "x2", "y2"]
+    if has_poly and null_axis_rects:
+        # Axis-aligned quads carry zero information beyond the bbox —
+        # encode_crop takes the identical bbox path for them (pytest-
+        # pinned bit-equal), so NULL them before the per-page aggregate:
+        # 8 doubles + two levels of Arrow list offsets per line stay out
+        # of collect_list, the shuffle, and the Python loop; only
+        # genuinely skewed quads (rotated text) keep their corners.
+        # Measured ~free at bench scale (tools/poly_payload_ab.py: 2.47
+        # vs 2.47 s min over 4k docs — the zlib page decode dominates);
+        # kept as shuffle-payload hygiene for the 100× regime, where the
+        # boxes list is the one corpus-∝ aggregate this join ships.
+        # Exact == is safe: the quad corners and the bbox are derived
+        # from the same doubles in _postprocess_page (bbox = corner
+        # min/max), and a false negative merely keeps the polygon.
+        p = F.col("polygon")
+        c1, c2, c3, c4 = (F.element_at(p, i) for i in (1, 2, 3, 4))
+        is_rect = (
+            (F.size(p) == 4)
+            & (c1[0] == F.col("x1")) & (c1[1] == F.col("y1"))
+            & (c2[0] == F.col("x2")) & (c2[1] == F.col("y1"))
+            & (c3[0] == F.col("x2")) & (c3[1] == F.col("y2"))
+            & (c4[0] == F.col("x1")) & (c4[1] == F.col("y2"))
+        )
+        lines = lines.withColumn(
+            "polygon", F.when(is_rect, F.lit(None)).otherwise(p))
     if has_poly:
         box_cols.append("polygon")
     boxes = lines.groupBy("media_ref").agg(

@@ -111,9 +111,16 @@ def encode_crop(desc: dict, bbox: list[float],
     (imageops.fill_poly_mask), not by the bbox — neighbor-line ink in
     the bbox corners of a skewed crop no longer leaks in. Axis-aligned
     polygons take the exact float bbox path (bit-identical to the
-    polygon-less call)."""
+    polygon-less call).
+
+    Degenerate polygons (< 3 corners — a raster can't be filled) fall
+    back to the unmasked bbox path rather than an all-false mask that
+    would silently drop every truth line, matching slice_and_pad_poly /
+    the reference's polygon validation short-circuit
+    (/root/reference/surya/common/polygon.py:17-35)."""
     cx1, cy1, cx2, cy2 = bbox
-    masked = polygon is not None and not _is_axis_rect(polygon, bbox)
+    masked = (polygon is not None and len(polygon) >= 3
+              and not _is_axis_rect(polygon, bbox))
     mask = None
     if masked:
         import math

@@ -104,6 +104,47 @@ def test_highres_double_resolution_path(spark):
         assert got == expected, r["doc_id"]
 
 
+def test_axis_rect_polygon_nullout_is_bit_identical(spark):
+    """slice_crops NULLs axis-aligned polygons before the per-page
+    aggregate (pure payload optimization — encode_crop takes the bbox
+    path for them either way). The crop bytes must be bit-identical to
+    the polygon-less call, and a genuinely skewed quad must still mask."""
+    from surya_spark.operators import detection, reading_order
+
+    pages = _pages(spark, n=6)
+    ordered = reading_order.order_lines(detection.detection_stage(pages))
+    base = ordered.select("media_ref", "line_idx", "position",
+                          "x1", "y1", "x2", "y2")
+    key = lambda r: (r["media_ref"], r["line_idx"])  # noqa: E731
+    with_poly = sorted(
+        ((r["media_ref"], r["line_idx"], bytes(r["crop_bytes"]))
+         for r in recognition.slice_crops(
+             ordered.select(*base.columns, "polygon"), pages).collect()),
+    )
+    without = sorted(
+        ((r["media_ref"], r["line_idx"], bytes(r["crop_bytes"]))
+         for r in recognition.slice_crops(base, pages).collect()),
+    )
+    assert with_poly == without and len(with_poly) > 0
+
+    # a non-rect quad survives the null-out filter (stays masked): a
+    # 2px-wide strip polygon masks away the truth line the bbox crop
+    # keeps, so its crop bytes MUST differ from the bbox-path crop
+    one = ordered.orderBy("media_ref", "line_idx").limit(1).collect()[0]
+    strip = spark.createDataFrame(
+        [(one["media_ref"], one["line_idx"], one["position"],
+          one["x1"], one["y1"], one["x2"], one["y2"],
+          [[one["x1"], one["y1"]], [one["x1"] + 2.0, one["y1"]],
+           [one["x1"] + 2.0, one["y2"]], [one["x1"], one["y2"]]])],
+        "media_ref string, line_idx int, position int, x1 double, "
+        "y1 double, x2 double, y2 double, polygon array<array<double>>",
+    )
+    skew_crop = recognition.slice_crops(strip, pages).collect()[0]
+    bbox_crop = recognition.slice_crops(
+        strip.drop("polygon"), pages).collect()[0]
+    assert bytes(skew_crop["crop_bytes"]) != bytes(bbox_crop["crop_bytes"])
+
+
 def test_batch_slot_matches_per_row_path(spark):
     """Continuous-batching analog: micro-batched batch_slot output must be
     row-identical to the per-row slot path, including across micro-batch
