@@ -1020,6 +1020,57 @@ def q_extract_skew_parity(spark, sf_dir):
     return out.mapInPandas(check, schema=schema)
 
 
+N_ITEXT_DOCS = 24
+
+
+def _itext_fixture() -> list[tuple]:
+    """Closed-form input_text fixture over the datagen truth: every truth
+    line of the first N_ITEXT_DOCS docs' page/table spans, cycling four
+    conditioning modes — 0: correct given text, 1: wrong text, 2: overlong
+    (400 chars > the 224 max_tokens drop bound), 3: absent (NULL).
+    Returns (media_ref, line_idx, x1, y1, x2, y2, input_text, truth, mode)."""
+    rows = []
+    for i in range(N_ITEXT_DOCS):
+        did = f"doc-{i:09d}"
+        for s in datagen.doc_plan(i):
+            if s["kind"] not in ("page", "table"):
+                continue
+            desc = datagen.make_page_descriptor(i, s["offset"], s["kind"])
+            for li, ln in enumerate(desc["lines"]):
+                mode = (i + s["offset"] + li) % 4
+                given = {0: ln["text"], 1: "definitely not the line",
+                         2: "a" * 400, 3: None}[mode]
+                rows.append((f"blob://{did}/p{s['offset']}", li,
+                             *[float(v) for v in ln["bbox"]],
+                             given, ln["text"], mode))
+    return rows
+
+
+def q_recognition_input_text(spark, sf_dir):
+    """The reference's verify/correct recognition mode (input_text= kwarg;
+    ref surya/recognition/__init__.py:86-102,354-471, behavior pinned by
+    ref tests/test_recognition.py:17-38): per-line given text seeds the
+    decode; verified-good lines resolve to the caller's text with
+    confidence 1.0 and original_text_good=true (the reference's
+    empty-decode short-circuit, :889-899), wrong/overlong/absent text
+    decodes normally. Oracled as a closed-form VALUES constant over the
+    mixed-mode fixture — including the exact surrogate confidence floor
+    (same doubles driver-side)."""
+    from surya_spark.operators import recognition
+
+    docs = datagen.gen_documents(spark, N_ITEXT_DOCS, partitions=4)
+    blobs = datagen.gen_page_blobs(spark, N_ITEXT_DOCS, partitions=4)
+    pages = pipeline.pages_for(docs, blobs)
+    boxes = spark.createDataFrame(
+        [r[:7] for r in _itext_fixture()],
+        "media_ref string, line_idx int, x1 double, y1 double, "
+        "x2 double, y2 double, input_text string")
+    out = recognition.recognize_given_boxes(boxes, pages)
+    return out.select(
+        "media_ref", "line_idx", "text", "original_text_good",
+        F.floor(F.col("confidence") * 1e6).alias("conf_u"))
+
+
 def q_minhash_lsh(spark, sf_dir):
     # md5lin hash mode: every hash (shingle id, 64 linear permutations,
     # band buckets) is replicated bit-for-bit by the DuckDB oracle, so
@@ -1130,6 +1181,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pipeline": q_extract_pipeline,
         "extract_parity": q_extract_parity,
         "extract_skew_parity": q_extract_skew_parity,
+        "recognition_input_text": q_recognition_input_text,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "incremental_dedup": q_incremental_dedup,
@@ -1444,6 +1496,22 @@ def oracle_sql() -> dict[str, str]:
         "CAST(f1 AS BIGINT) AS f1, dim FROM ("
         + _values_sql(exp_feat, ["media_ref", "f0", "f1", "dim"]) + ")")
 
+    # input_text conditioning: expected text/flag/confidence per fixture
+    # line — confidence replicates the surrogate's 0.9+0.1*rng draw with
+    # the identical doubles driver-side (good lines short-circuit at 1.0)
+    exp_itext = []
+    for r in _itext_fixture():
+        truth, mode = r[7], r[8]
+        conf = 1.0 if mode == 0 else float(
+            0.9 + 0.1 * datagen._rng(datagen.SEED, "rec", truth).rand())
+        exp_itext.append((r[0], r[1], truth, mode == 0,
+                          math.floor(conf * 1e6)))
+    itext_sql = (
+        "SELECT media_ref, line_idx, text, original_text_good, "
+        "CAST(conf_u AS BIGINT) AS conf_u FROM ("
+        + _values_sql(exp_itext, ["media_ref", "line_idx", "text",
+                                  "original_text_good", "conf_u"]) + ")")
+
     cleanup_sql = f"""
         SELECT doc_id,
                CASE CAST(doc_id % 4 AS INTEGER)
@@ -1459,6 +1527,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_pipeline": pipeline_sql,
         "extract_parity": parity_sql,
         "extract_skew_parity": skew_parity_sql,
+        "recognition_input_text": itext_sql,
         "media_metadata": meta_sql,
         "media_features": feat_sql,
         "text_cleanup": cleanup_sql,

@@ -71,7 +71,14 @@ def slice_crops(lines: DataFrame, pages: DataFrame,
     table join in — lowres page bytes are never read on this path
     (column pruning keeps them out of the scan)."""
     has_poly = "polygon" in lines.columns
+    has_text = "input_text" in lines.columns
     box_cols = ["line_idx", "position", "x1", "y1", "x2", "y2"]
+    if has_text:
+        # optional per-line given text (the verify/correct library mode,
+        # ref recognition/__init__.py:199-254 slice_bboxes input_text):
+        # rides the box struct to the crop row so recognize() can seed
+        # the decode with it
+        box_cols.append("input_text")
     if has_poly and null_axis_rects:
         # Axis-aligned quads carry zero information beyond the bbox —
         # encode_crop takes the identical bbox path for them (pytest-
@@ -151,7 +158,7 @@ def slice_crops(lines: DataFrame, pages: DataFrame,
                             # PolygonBox.rescale truncates per corner
                             poly = [[float(int(p[0] * ws)),
                                      float(int(p[1] * hs))] for p in poly]
-                    rows.append({
+                    row = {
                         "media_ref": ref,
                         "line_idx": int(b["line_idx"]),
                         "position": int(b["position"]),
@@ -159,11 +166,17 @@ def slice_crops(lines: DataFrame, pages: DataFrame,
                         "x2": b["x2"], "y2": b["y2"],
                         "crop_bytes": slots.encode_crop(desc, bbox, poly),
                         "res_x": ws, "res_y": hs,
-                    })
+                    }
+                    if has_text:
+                        row["input_text"] = b["input_text"]
+                    rows.append(row)
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
-                {f.name: pd.Series([], dtype=object) for f in _CROPS})
+                {f.name: pd.Series([], dtype=object) for f in out_schema})
 
-    return joined.mapInPandas(run, schema=_CROPS)
+    out_schema = (T.StructType(
+        list(_CROPS) + [T.StructField("input_text", T.StringType(), True)])
+        if has_text else _CROPS)
+    return joined.mapInPandas(run, schema=out_schema)
 
 
 _OCR_OUT = T.StructType([
@@ -183,7 +196,8 @@ _OCR_OUT = T.StructType([
 def _continuous_schedule(blobs: list, tasks: list, step_slot,
                          n_slots: int,
                          min_prefill_ratio: float = 0.2,
-                         max_steps: int = 100_000) -> list[dict]:
+                         max_steps: int = 100_000,
+                         texts: list | None = None) -> list[dict]:
     """The reference's continuous-batching prediction loop
     (/root/reference/surya/recognition/__init__.py:501-607) with
     IN-FLIGHT SLOT REPLACEMENT, model-free: n_slots decoder slots; when
@@ -215,8 +229,13 @@ def _continuous_schedule(blobs: list, tasks: list, step_slot,
         if queue and (len(empty) / n_slots) > min_prefill_ratio:
             admit = [queue.popleft()
                      for _ in range(min(len(empty), len(queue)))]
-            states = step_slot.prefill([blobs[i] for i in admit],
-                                       [tasks[i] for i in admit])
+            if texts is None:
+                states = step_slot.prefill([blobs[i] for i in admit],
+                                           [tasks[i] for i in admit])
+            else:
+                states = step_slot.prefill([blobs[i] for i in admit],
+                                           [tasks[i] for i in admit],
+                                           [texts[i] for i in admit])
             for b, i, st in zip(empty, admit, states):
                 slots_arr[b] = (i, st)
             continue
@@ -270,13 +289,30 @@ def recognize(crops: DataFrame,
     (slots.SurrogateStepRecognizer documents the contract); rec_slots =
     the decoder slot count (the reference's recognition_batch_size).
     Mutually exclusive with batch_slot; per-row outputs are pinned
-    byte-identical to the plain path across slot schedules."""
+    byte-identical to the plain path across slot schedules.
+
+    input_text conditioning (ref recognition/__init__.py:86-102,354-471;
+    behavior contract = ref tests/test_recognition.py:17-38): when crops
+    carry an `input_text` column (threaded by slice_crops /
+    recognize_given_boxes), each slot is called with a third argument —
+    slot(blob, task, input_text); batch/step slots get a texts list. A
+    slot result carrying original_text_good=True (the reference's
+    empty-decode short-circuit for verified-good given text, :889-899)
+    resolves to the CALLER'S text with chars=[] and confidence 1.0, and
+    the output grows an `original_text_good` boolean column so verify
+    workflows can filter on it. Without the column, signatures and
+    schema are unchanged — every existing 2-arg slot keeps working."""
     if batch_slot is not None and step_slot is not None:
         raise ValueError("pass at most one of batch_slot / step_slot")
     sorted_crops = crops.sortWithinPartitions((F.col("x2") - F.col("x1")).desc())
     has_task_col = "task" in crops.columns
+    has_input = "input_text" in crops.columns
 
     has_res = "res_x" in crops.columns
+    out_schema = (T.StructType(
+        list(_OCR_OUT)
+        + [T.StructField("original_text_good", T.BooleanType(), False)])
+        if has_input else _OCR_OUT)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -285,18 +321,28 @@ def recognize(crops: DataFrame,
             tasks = pdf["task"] if has_task_col else [task] * n
             rxs = pdf["res_x"] if has_res else [1.0] * n
             rys = pdf["res_y"] if has_res else [1.0] * n
+            texts = ([None if t is None else str(t)
+                      for t in pdf["input_text"]] if has_input
+                     else [None] * n)
             if batch_slot is not None:
                 blobs = [bytes(b) for b in pdf["crop_bytes"]]
                 tlist = list(tasks)
                 results: list[dict] = []
                 for s in range(0, n, micro_batch):
-                    results.extend(
-                        batch_slot(blobs[s:s + micro_batch],
-                                   tlist[s:s + micro_batch]))
+                    if has_input:
+                        results.extend(
+                            batch_slot(blobs[s:s + micro_batch],
+                                       tlist[s:s + micro_batch],
+                                       texts[s:s + micro_batch]))
+                    else:
+                        results.extend(
+                            batch_slot(blobs[s:s + micro_batch],
+                                       tlist[s:s + micro_batch]))
             elif step_slot is not None:
                 results = _continuous_schedule(
                     [bytes(b) for b in pdf["crop_bytes"]], list(tasks),
-                    step_slot, rec_slots)
+                    step_slot, rec_slots,
+                    texts=texts if has_input else None)
             else:
                 results = None
             for i, (ref, li, pos, x1, y1, x2, y2, blob, tk, rx, ry) in \
@@ -305,9 +351,14 @@ def recognize(crops: DataFrame,
                         pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"],
                         pdf["crop_bytes"], tasks, rxs, rys,
                     )):
-                r = results[i] if results is not None else slot(
-                    bytes(blob), tk)
+                if results is not None:
+                    r = results[i]
+                elif has_input:
+                    r = slot(bytes(blob), tk, texts[i])
+                else:
+                    r = slot(bytes(blob), tk)
                 rx, ry = float(rx), float(ry)
+                otg = bool(r.get("original_text_good", False))
                 # rescale chars from (possibly highres) crop space by
                 # res_scales, shift into page coords, clamp to the line bbox
                 # (/root/reference/surya/recognition/__init__.py:906-914)
@@ -323,16 +374,24 @@ def recognize(crops: DataFrame,
                     }
                     for c in r["chars"]
                 ] if emit_chars else []
-                rows.append({
+                row = {
                     "media_ref": ref, "line_idx": int(li), "position": int(pos),
                     "x1": x1, "y1": y1, "x2": x2, "y2": y2,
-                    "text": r["text"], "chars": chars,
-                    "confidence": r["confidence"],
-                })
+                    # verified-good given text resolves to the caller's
+                    # original (the reference returns "" + the flag and
+                    # callers keep their text; the relational contract
+                    # resolves it in place)
+                    "text": (texts[i] or "").strip() if otg else r["text"],
+                    "chars": chars,
+                    "confidence": 1.0 if otg else r["confidence"],
+                }
+                if has_input:
+                    row["original_text_good"] = otg
+                rows.append(row)
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
-                {f.name: pd.Series([], dtype=object) for f in _OCR_OUT})
+                {f.name: pd.Series([], dtype=object) for f in out_schema})
 
-    return sorted_crops.mapInPandas(run, schema=_OCR_OUT)
+    return sorted_crops.mapInPandas(run, schema=out_schema)
 
 
 def recognize_given_boxes(boxes: DataFrame, pages: DataFrame,
@@ -341,15 +400,20 @@ def recognize_given_boxes(boxes: DataFrame, pages: DataFrame,
     """The parity-critical library mode: caller supplies line bboxes and
     skips detection (/root/reference/surya/recognition/__init__.py:773-942
     with bboxes=; used by the recognition benchmark and LaTeX OCR).
-    boxes: (media_ref, line_idx, x1, y1, x2, y2[, position])."""
+    boxes: (media_ref, line_idx, x1, y1, x2, y2[, position][, input_text]).
+
+    An optional `input_text` column is the reference's verify/correct
+    mode (input_text= kwarg, ref :783-853): per-line given text seeds
+    the decode; lines whose text the model confirms come back with the
+    original text, confidence 1.0 and original_text_good=true (see
+    recognize)."""
     if "position" not in boxes.columns:
         w = Window.partitionBy("media_ref").orderBy("y1", "x1", "line_idx")
         boxes = boxes.withColumn("position", F.row_number().over(w))
-    crops = slice_crops(
-        boxes.select("media_ref", "line_idx", "position",
-                     "x1", "y1", "x2", "y2"),
-        pages,
-    )
+    cols = ["media_ref", "line_idx", "position", "x1", "y1", "x2", "y2"]
+    if "input_text" in boxes.columns:
+        cols.append("input_text")
+    crops = slice_crops(boxes.select(*cols), pages)
     return recognize(crops, slot, task)
 
 

@@ -168,8 +168,19 @@ def decode_crop(blob: bytes) -> dict:
 
 
 # ---------------------------------------------------------------- recognition
+# per-task generation budget (ref RecognitionPredictor.tasks max_tokens,
+# /root/reference/surya/recognition/__init__.py:86-102) — also the bound
+# above which supplied input text is dropped as likely invalid
+TASK_MAX_TOKENS = {
+    "ocr_with_boxes": 224,
+    "ocr_without_boxes": 224,
+    "block_without_boxes": 768,
+}
+
+
 def surrogate_recognize(crop_bytes: bytes,
-                        task: str = "ocr_with_boxes") -> dict:
+                        task: str = "ocr_with_boxes",
+                        input_text: str | None = None) -> dict:
     """crop blob → (text, chars, confidence). Picks the truth line covering
     the largest share of the crop; chars get evenly-divided boxes, like the
     reference's per-token bbox head output
@@ -180,7 +191,22 @@ def surrogate_recognize(crop_bytes: bytes,
       ocr_without_boxes  — text only; char bboxes marked invalid
       block_without_boxes— whole-block decode, output wrapped <math>…</math>
                            (the LaTeX OCR mode, scripts/ocr_latex.py:23-31)
-    """
+
+    input_text (the "given text, verify/correct" library mode): optional
+    per-line text that seeds the decode, per the reference contract —
+    prepare_input coerces None→"" and DROPS text longer than the task's
+    max_tokens as likely invalid (recognition/__init__.py:281-287; the
+    pinned behavior of ref tests/test_recognition.py:17-38, where a
+    400-char input must not change output or cost). When the conditioned
+    decode confirms the given text, the model emits no new tokens and
+    the reference returns TextLine(text="", chars=[], confidence=1,
+    original_text_good=True) (recognition/__init__.py:889-899) — the
+    surrogate mirrors that short-circuit exactly: given text equal to
+    the decoded line returns the empty/flagged result; anything else
+    decodes normally (flag absent/False)."""
+    cond = (input_text or "").strip()
+    if len(cond) > TASK_MAX_TOKENS.get(task, 224):
+        cond = ""
     desc = decode_crop(crop_bytes)
     _, _, cw, ch = desc["crop"]
     best, best_cover = None, -1.0
@@ -195,6 +221,10 @@ def surrogate_recognize(crop_bytes: bytes,
     text = best["text"]
     if task == "block_without_boxes" and not text.startswith("<math>"):
         text = f"<math>{text}</math>"
+    if cond and cond == text:
+        # input text is good — no new tokens decoded (ref :889-899)
+        return {"text": "", "chars": [], "confidence": 1.0,
+                "original_text_good": True}
     x1, y1, x2, y2 = best["bbox"]
     n = max(1, len(text))
     cw_char = (x2 - x1) / n
@@ -214,14 +244,21 @@ def surrogate_recognize(crop_bytes: bytes,
 
 
 def surrogate_recognize_batch(blobs: list[bytes],
-                              tasks: list[str]) -> list[dict]:
+                              tasks: list[str],
+                              texts: list[str | None] | None = None
+                              ) -> list[dict]:
     """Batch-signature recognizer for the continuous-batching path
     (recognition.recognize(batch_slot=...)): one result per input, in
     order. A GPU deployment replaces the loop with a single padded-tensor
     forward pass over the (width-sorted) micro-batch — the padding waste
     bound is what the width-descending admission buys
-    (ref /root/reference/surya/recognition/__init__.py:501-607)."""
-    return [surrogate_recognize(b, t) for b, t in zip(blobs, tasks)]
+    (ref /root/reference/surya/recognition/__init__.py:501-607).
+    texts: optional per-item input_text (None = unconditioned), the
+    batch analog of RecognitionPrompt.text (ref :354-371)."""
+    if texts is None:
+        texts = [None] * len(blobs)
+    return [surrogate_recognize(b, t, x)
+            for b, t, x in zip(blobs, tasks, texts)]
 
 
 class SurrogateStepRecognizer:
@@ -230,8 +267,12 @@ class SurrogateStepRecognizer:
     /root/reference/surya/recognition/__init__.py:501-607). The
     three-callable contract a GPU deployment fills with real tensors:
 
-      prefill(blobs, tasks) -> list[state]   # encoder pass + KV-cache
-                                             # rows for newly admitted
+      prefill(blobs, tasks[, texts]) -> list[state]
+                                             # encoder pass + KV-cache
+                                             # rows for newly admitted;
+                                             # texts = optional per-item
+                                             # input_text conditioning
+                                             # (ref RecognitionPrompt.text)
       step(states) -> list[done: bool]       # ONE decoder step for the
                                              # in-flight batch, each
                                              # state advances one token
@@ -247,10 +288,13 @@ class SurrogateStepRecognizer:
         self.prefill_calls = 0
         self.step_calls = 0
 
-    def prefill(self, blobs: list[bytes], tasks: list[str]) -> list[dict]:
+    def prefill(self, blobs: list[bytes], tasks: list[str],
+                texts: list[str | None] | None = None) -> list[dict]:
         self.prefill_calls += 1
-        return [{"r": surrogate_recognize(b, t), "pos": 0}
-                for b, t in zip(blobs, tasks)]
+        if texts is None:
+            texts = [None] * len(blobs)
+        return [{"r": surrogate_recognize(b, t, x), "pos": 0}
+                for b, t, x in zip(blobs, tasks, texts)]
 
     def step(self, states: list[dict]) -> list[bool]:
         self.step_calls += 1
