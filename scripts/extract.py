@@ -50,6 +50,10 @@ def main() -> None:
     ap.add_argument("--stage", default="extract",
                     choices=["extract", "ocr", "detect", "layout",
                              "table", "latex"])
+    ap.add_argument("--debug-images", default=None, metavar="DIR",
+                    help="also write per-page PNG overlays of the "
+                         "detected lines to DIR (the reference CLIs' "
+                         "--images flag; sources/debug_draw.py)")
     ap.add_argument("--cores", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -109,6 +113,18 @@ def main() -> None:
         json_sink.write_results_json(spark.read.parquet(args.out),
                                      args.json_export)
         print(f"json export -> {args.json_export}")
+
+    if args.debug_images:
+        from surya_spark.operators import detection as det_op
+        from surya_spark.sources import debug_draw
+
+        pages = pipeline.pages_for(docs, blobs)
+        lines = (spark.read.parquet(args.out) if args.stage == "detect"
+                 else det_op.detection_stage(pages))
+        overlays = debug_draw.debug_overlays(lines, pages)
+        debug_draw.write_pngs(overlays, args.debug_images)
+        n_png = overlays.count()
+        print(f"debug overlays: {n_png} pages -> {args.debug_images}")
     spark.stop()
 
 
