@@ -523,6 +523,173 @@ def q_grid_cells(spark, sf_dir):
     )
 
 
+def q_spanning_cells(spark, sf_dir):
+    """Spanning-cell override (tables.apply_spanning_cells; ref
+    surya/table_rec/__init__.py:313-327) over synthetic integer-geometry
+    tables derived from nation: 25 grids of 2-5 rows × 2-4 cols, a
+    colspan-2 span on wide tables and a rowspan-2 span (disjoint by
+    construction) on even tall tables. Covered cells collapse into the
+    min-(row,col) anchor carrying the span bbox + colspan/rowspan; the
+    oracle replicates the coverage join + anchor window relationally."""
+    from surya_spark.operators import tables as TB
+
+    t = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("t_id"),
+        (F.lit(2) + F.col("n_nationkey") % 4).cast("int").alias("n_rows"),
+        (F.lit(2) + F.floor(F.col("n_nationkey") / 4) % 3).cast("int")
+        .alias("n_cols"),
+    )
+    cells = (
+        t.select(
+            "t_id", "n_rows", "n_cols",
+            F.explode(F.sequence(F.lit(0), F.col("n_rows") - 1))
+            .alias("_r"))
+        .select(
+            "t_id", "n_cols", F.col("_r").cast("int").alias("row_id"),
+            F.explode(F.sequence(F.lit(0), F.col("n_cols") - 1))
+            .alias("_c"))
+        .withColumn("col_id", F.col("_c").cast("int"))
+        .select(
+            F.lit("pg").alias("media_ref"),
+            F.col("t_id").alias("table_idx"),
+            "row_id", "col_id",
+            (F.col("row_id") == 0).alias("is_header"),
+            (F.col("col_id") * 100).cast("double").alias("x1"),
+            (F.col("row_id") * 40).cast("double").alias("y1"),
+            (F.col("col_id") * 100 + 100).cast("double").alias("x2"),
+            (F.col("row_id") * 40 + 40).cast("double").alias("y2"),
+        )
+    )
+    col_c = (F.lit(1) + F.col("t_id") % (F.col("n_cols") - 2)).cast("int")
+    row_c = (F.col("t_id") % F.col("n_rows")).cast("int")
+    colspans = t.filter(F.col("n_cols") >= 3).select(
+        F.lit("pg").alias("media_ref"),
+        F.col("t_id").alias("table_idx"),
+        F.lit("spanning_cell").alias("item_kind"),
+        F.lit(0).alias("item_id"),
+        (col_c * 100).cast("double").alias("x1"),
+        (row_c * 40).cast("double").alias("y1"),
+        ((col_c + 2) * 100).cast("double").alias("x2"),
+        ((row_c + 1) * 40).cast("double").alias("y2"),
+        (row_c == 0).alias("is_header"),
+        F.lit(2).alias("colspan"), F.lit(1).alias("rowspan"),
+    )
+    rowspans = t.filter(
+        (F.col("n_rows") >= 3) & (F.col("t_id") % 2 == 0)).select(
+        F.lit("pg").alias("media_ref"),
+        F.col("t_id").alias("table_idx"),
+        F.lit("spanning_cell").alias("item_kind"),
+        F.lit(1).alias("item_id"),
+        F.lit(0.0).alias("x1"), F.lit(40.0).alias("y1"),
+        F.lit(100.0).alias("x2"), F.lit(120.0).alias("y2"),
+        F.lit(False).alias("is_header"),
+        F.lit(1).alias("colspan"), F.lit(2).alias("rowspan"),
+    )
+    items = colspans.unionByName(rowspans)
+    out = TB.apply_spanning_cells(cells, items)
+    return out.select(
+        "table_idx", "row_id", "col_id", "is_header",
+        "x1", "y1", "x2", "y2",
+        F.col("colspan").cast("int").alias("colspan"),
+        F.col("rowspan").cast("int").alias("rowspan"),
+    )
+
+
+def q_word_assembly(spark, sf_dir):
+    """Word assembly (recognition.assemble_words; ref
+    surya/recognition/util.py:123-154): chars → whitespace-split words
+    with running-union bboxes. Fixture: the first 60 chars of each
+    document become one synthetic line with evenly-spaced 10px char
+    boxes; the oracle replicates the cumulative-space-count word ids and
+    min/max bbox fold per word in SQL."""
+    from surya_spark.operators import recognition as R
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 60).alias("t"))
+    chars = d.select(
+        F.col("doc_id").cast("string").alias("media_ref"),
+        F.lit(0).alias("line_idx"),
+        F.posexplode(F.split("t", "")).alias("pos", "ch"),
+    ).filter(F.col("ch") != "").select(
+        "media_ref", "line_idx",
+        F.struct(
+            F.col("ch").alias("text"),
+            (F.col("pos") * 10).cast("double").alias("x1"),
+            F.lit(0.0).alias("y1"),
+            (F.col("pos") * 10 + 10).cast("double").alias("x2"),
+            F.lit(10.0).alias("y2"),
+            F.lit(1.0).alias("confidence"),
+            F.lit(True).alias("bbox_valid"),
+        ).alias("ch"), F.col("pos"),
+    )
+    lines = chars.groupBy("media_ref", "line_idx").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "ch"))),
+            lambda s: s["ch"],
+        ).alias("chars")
+    )
+    out = R.assemble_words(lines)
+    return out.select(
+        F.col("media_ref").cast("long").alias("doc_id"),
+        F.col("word_idx").cast("long").alias("word_idx"),
+        "word", "x1", "y1", "x2", "y2",
+    )
+
+
+N_FUZZY_DOCS = 16
+
+
+def _fuzzy_fixture():
+    """Closed-form fuzzy-match fixture: every truth line of the first
+    N_FUZZY_DOCS docs becomes its own KEY (single pred line per key, so
+    the per-key mean is the single best score — no float-summation-order
+    ambiguity), matched against a perturbed copy (every 7th char dropped)
+    and an unrelated decoy. Expected best = difflib ratio computed
+    driver-side with the same stdlib."""
+    import difflib
+    import math
+
+    preds, refs, exp = [], [], []
+    for i in range(N_FUZZY_DOCS):
+        for s in datagen.doc_plan(i):
+            if s["kind"] not in ("page", "table"):
+                continue
+            desc = datagen.make_page_descriptor(i, s["offset"], s["kind"])
+            for li, ln in enumerate(desc["lines"]):
+                key = i * 100_000 + s["offset"] * 1_000 + li
+                t = ln["text"]
+                r1 = "".join(c for j, c in enumerate(t) if j % 7 != 3)
+                r2 = "zzz qqq xxx"
+                preds.append((key, 0, t))
+                refs.append((key, 0, r1))
+                refs.append((key, 1, r2))
+                best = max(
+                    difflib.SequenceMatcher(None, t, r1).ratio(),
+                    difflib.SequenceMatcher(None, t, r2).ratio())
+                exp.append((key, math.floor(best * 1e6), 1))
+    return preds, refs, exp
+
+
+def q_fuzzy_overlap(spark, sf_dir):
+    """Recognition-benchmark fuzzy overlap score
+    (metrics.fuzzy_overlap_score; ref benchmark/utils/scoring.py:7-26):
+    best difflib-ratio reference line per predicted line via the
+    Arrow-cogrouped kernel, oracled against a closed-form VALUES constant
+    (single line per key — see _fuzzy_fixture)."""
+    from surya_spark.functions import metrics as M
+
+    preds, refs, _ = _fuzzy_fixture()
+    schema = "key long, line_id int, text string"
+    p = spark.createDataFrame(preds, schema)
+    r = spark.createDataFrame(refs, schema)
+    out = M.fuzzy_overlap_score(p, r)
+    return out.select(
+        "key",
+        F.floor(F.col("mean_score") * 1e6).alias("score_u"),
+        "n_lines",
+    )
+
+
 def q_coverage_metric(spark, sf_dir):
     # numpy per-page coverage sweep (functions/metrics.py): exact integer
     # geometry → bit-identical to the pairwise-join formulation, ~7× faster
@@ -1157,6 +1324,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reading_order": q_reading_order,
         "merge_boxes_agg": q_merge_boxes_agg,
         "grid_cells": q_grid_cells,
+        "spanning_cells": q_spanning_cells,
+        "word_assembly": q_word_assembly,
+        "fuzzy_overlap": q_fuzzy_overlap,
         "coverage_metric": q_coverage_metric,
         "confidence_normalize": q_confidence_normalize,
         "bbox6_roundtrip": q_bbox6_roundtrip,
@@ -1512,6 +1682,12 @@ def oracle_sql() -> dict[str, str]:
         + _values_sql(exp_itext, ["media_ref", "line_idx", "text",
                                   "original_text_good", "conf_u"]) + ")")
 
+    _, _, exp_fuzzy = _fuzzy_fixture()
+    fuzzy_sql = (
+        "SELECT CAST(key AS BIGINT) AS key, "
+        "CAST(score_u AS BIGINT) AS score_u, n_lines FROM ("
+        + _values_sql(exp_fuzzy, ["key", "score_u", "n_lines"]) + ")")
+
     cleanup_sql = f"""
         SELECT doc_id,
                CASE CAST(doc_id % 4 AS INTEGER)
@@ -1528,6 +1704,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_parity": parity_sql,
         "extract_skew_parity": skew_parity_sql,
         "recognition_input_text": itext_sql,
+        "fuzzy_overlap": fuzzy_sql,
         "media_metadata": meta_sql,
         "media_features": feat_sql,
         "text_cleanup": cleanup_sql,
@@ -1911,6 +2088,82 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r_regionkey * 200 + 200 AS DOUBLE) AS x2,
                    CAST(n_nationkey * 40 + 40 AS DOUBLE) AS y2
             FROM nation CROSS JOIN region
+        """,
+        "spanning_cells": """
+            WITH t AS (
+              SELECT CAST(n_nationkey AS INTEGER) AS t_id,
+                     CAST(2 + n_nationkey % 4 AS INTEGER) AS n_rows,
+                     CAST(2 + (n_nationkey // 4) % 3 AS INTEGER) AS n_cols
+              FROM nation),
+            g AS (
+              SELECT t_id,
+                     CAST(r.range AS INTEGER) AS row_id,
+                     CAST(c.range AS INTEGER) AS col_id,
+                     r.range = 0 AS is_header,
+                     CAST(c.range * 100 AS DOUBLE) AS x1,
+                     CAST(r.range * 40 AS DOUBLE) AS y1,
+                     CAST(c.range * 100 + 100 AS DOUBLE) AS x2,
+                     CAST(r.range * 40 + 40 AS DOUBLE) AS y2
+              FROM t, range(5) r, range(4) c
+              WHERE r.range < n_rows AND c.range < n_cols),
+            sp AS (
+              SELECT t_id, 0 AS span_id,
+                     CAST((1 + t_id % (n_cols - 2)) * 100 AS DOUBLE) AS sx1,
+                     CAST((t_id % n_rows) * 40 AS DOUBLE) AS sy1,
+                     CAST((3 + t_id % (n_cols - 2)) * 100 AS DOUBLE) AS sx2,
+                     CAST((t_id % n_rows + 1) * 40 AS DOUBLE) AS sy2,
+                     2 AS cs, 1 AS rs
+              FROM t WHERE n_cols >= 3
+              UNION ALL
+              SELECT t_id, 1, CAST(0 AS DOUBLE), CAST(40 AS DOUBLE),
+                     CAST(100 AS DOUBLE), CAST(120 AS DOUBLE), 1, 2
+              FROM t WHERE n_rows >= 3 AND t_id % 2 = 0),
+            j AS (
+              SELECT g.*, s.span_id, s.sx1, s.sy1, s.sx2, s.sy2, s.cs, s.rs
+              FROM g LEFT JOIN sp s
+                ON g.t_id = s.t_id
+               AND greatest(0, least(g.x2, s.sx2) - greatest(g.x1, s.sx1))
+                 * greatest(0, least(g.y2, s.sy2) - greatest(g.y1, s.sy1))
+                 / ((g.x2 - g.x1) * (g.y2 - g.y1)) >= 0.9),
+            a AS (
+              SELECT *, min(row_id * 1000 + col_id)
+                         OVER (PARTITION BY t_id, span_id) AS anchor
+              FROM j WHERE span_id IS NOT NULL)
+            SELECT t_id AS table_idx, row_id, col_id, is_header,
+                   x1, y1, x2, y2, 1 AS colspan, 1 AS rowspan
+            FROM j WHERE span_id IS NULL
+            UNION ALL
+            SELECT t_id, row_id, col_id, is_header,
+                   sx1, sy1, sx2, sy2, cs, rs
+            FROM a WHERE row_id * 1000 + col_id = anchor
+        """,
+        "word_assembly": """
+            WITH d AS (SELECT doc_id, substr(text, 1, 60) AS t
+                       FROM documents),
+            c AS (
+              SELECT doc_id, r.range AS pos,
+                     substr(t, CAST(r.range + 1 AS INTEGER), 1) AS ch
+              FROM d, range(60) r
+              WHERE r.range < length(t)),
+            m AS (
+              SELECT doc_id, pos, ch,
+                     CASE WHEN regexp_matches(ch, '^\\s$') THEN 1 ELSE 0 END
+                       AS sp
+              FROM c),
+            w AS (
+              SELECT doc_id, pos, ch, sp,
+                     sum(sp) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) - sp AS word_id
+              FROM m)
+            SELECT doc_id,
+                   CAST(word_id AS BIGINT) AS word_idx,
+                   string_agg(ch, '' ORDER BY pos) AS word,
+                   CAST(min(pos) * 10 AS DOUBLE) AS x1,
+                   CAST(0 AS DOUBLE) AS y1,
+                   CAST(max(pos) * 10 + 10 AS DOUBLE) AS x2,
+                   CAST(10 AS DOUBLE) AS y2
+            FROM w WHERE sp = 0
+            GROUP BY doc_id, word_id
         """,
         "coverage_metric": f"""
             WITH pred AS ({_BOXES_SQL}),
