@@ -216,6 +216,10 @@ def q_events_sessionize(spark, sf_dir):
 
 
 def q_events_tumbling(spark, sf_dir):
+    """BATCH tumbling-hour rollup via date_trunc. INTENTIONALLY produces
+    the identical result set as q_windowed_events, which computes the
+    same rollup through the streaming-style F.window machinery — two
+    machineries, one oracle; do not delete either as a duplicate."""
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(
@@ -954,6 +958,10 @@ def q_json_extract(spark, sf_dir):
 
 
 def q_windowed_events(spark, sf_dir):
+    """Tumbling-hour rollup through the STREAMING-style F.window path
+    (streaming/ingest.windowed_event_counts). INTENTIONALLY the same
+    result set as q_events_tumbling's batch date_trunc form — two
+    machineries, one oracle; do not delete either as a duplicate."""
     from surya_spark.streaming.ingest import windowed_event_counts
 
     out = windowed_event_counts(_t(spark, sf_dir, "events"))

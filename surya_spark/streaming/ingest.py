@@ -75,7 +75,12 @@ def stream_incremental_dedup(
     Scale shape: per micro-batch cost = banded equi-join of the batch
     against the index + one compact parquet append — both ∝ batch, not
     corpus. Exactly-once on the source comes from the streaming
-    checkpoint; the index append is idempotent-enough for a crawl
+    checkpoint; foreachBatch side effects are at-least-once, so the
+    FLAGS write is made idempotent by partitioning on batch_id with
+    dynamic partition overwrite — a batch replayed after a crash
+    between the flags write and the checkpoint commit overwrites its
+    own partition instead of appending duplicate flag rows. The index
+    append stays append-mode and is idempotent-enough for a crawl
     (a replayed batch re-appends signatures; bucket candidates dedup via
     DISTINCT, so flags are unaffected). In-batch duplicates are BOTH
     novel by definition here — in-batch dedup is minhash_lsh_pairs'
@@ -96,14 +101,18 @@ def stream_incremental_dedup(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        import os
+        # index-existence probe through the Spark reader, not the
+        # driver's local filesystem — index_dir may be HDFS/S3 where
+        # os.walk always reports nothing (an empty/missing dir raises
+        # AnalysisException: unable to infer schema / path not found)
+        from pyspark.errors import AnalysisException
 
-        have_index = any(
-            f.endswith(".parquet") for _, _, fs in os.walk(index_dir)
-            for f in fs
-        ) if os.path.isdir(index_dir) else False
-        if have_index:
+        try:
             idx = spark.read.parquet(index_dir)
+            have_index = True
+        except AnalysisException:
+            idx, have_index = None, False
+        if have_index:
             flagged = dedup.minhash_novelty(
                 batch_df, corpus_index=idx,
                 threshold=threshold, hash_mode=hash_mode)
@@ -111,8 +120,13 @@ def stream_incremental_dedup(
             flagged = batch_df.select(
                 "doc_id", F.lit(0.0).alias("max_est"),
                 F.lit(True).alias("is_novel"))
+        flagged = flagged.withColumn("batch_id", F.lit(int(batch_id)))
         flagged = flagged.persist()
-        flagged.write.mode("append").parquet(out_path)
+        # idempotent under foreachBatch replay: dynamic partition
+        # overwrite replaces exactly this batch's partition
+        (flagged.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(out_path))
         novel = batch_df.join(
             flagged.filter("is_novel").select("doc_id"), "doc_id",
             "left_semi")
