@@ -56,6 +56,10 @@ HEADLINE = [
     "heatmap_boxes",
     "poly_mask",
     "cubic_resize",
+    "word_assembly",
+    "spanning_cells",
+    "fuzzy_overlap",
+    "recognition_input_text",
 ]
 
 

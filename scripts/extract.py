@@ -54,6 +54,10 @@ def main() -> None:
                     help="also write per-page PNG overlays of the "
                          "detected lines to DIR (the reference CLIs' "
                          "--images flag; sources/debug_draw.py)")
+    ap.add_argument("--render-html", default=None, metavar="DIR",
+                    help="also re-typeset recognized lines as one HTML "
+                         "page per media_ref in DIR (the reference's "
+                         "KaTeX debug renderer; sources/render_html.py)")
     ap.add_argument("--cores", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -125,6 +129,26 @@ def main() -> None:
         debug_draw.write_pngs(overlays, args.debug_images)
         n_png = overlays.count()
         print(f"debug overlays: {n_png} pages -> {args.debug_images}")
+
+    if args.render_html:
+        from surya_spark.operators import (detection as det_op,
+                                           reading_order, recognition)
+        from surya_spark.sources import render_html as rh
+
+        pages = pipeline.pages_for(docs, blobs).persist()
+        ordered = reading_order.order_lines(
+            det_op.detection_stage(pages))
+        ocr = recognition.recognize(
+            recognition.slice_crops(
+                ordered.select("media_ref", "line_idx", "position",
+                               "x1", "y1", "x2", "y2", "polygon"),
+                pages),
+            emit_chars=False)
+        rendered = rh.html_render_pages(ocr, pages)
+        rh.write_html(rendered, args.render_html)
+        print(f"html render: {rendered.count()} pages "
+              f"-> {args.render_html}")
+        pages.unpersist()
     spark.stop()
 
 
