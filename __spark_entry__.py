@@ -694,6 +694,51 @@ def q_fuzzy_overlap(spark, sf_dir):
     )
 
 
+def _render_fixture():
+    """Closed-form render-check fixture: truth lines as <math>-wrapped
+    predictions vs three reference modes — 0: same text (IoU 1.0 after
+    tag-strip normalization), 1: every 5th char dropped, 2: unrelated.
+    Expected IoU computed driver-side with the same pure rasterizer."""
+    from surya_spark.functions.metrics import render_ink_iou
+
+    pairs, exp = [], []
+    for i in range(12):
+        for s in datagen.doc_plan(i):
+            if s["kind"] != "page":
+                continue
+            desc = datagen.make_page_descriptor(i, s["offset"], s["kind"])
+            for li, ln in enumerate(desc["lines"]):
+                key = i * 100_000 + s["offset"] * 1_000 + li
+                t = ln["text"]
+                mode = (i + li) % 3
+                ref = {0: t,
+                       1: "".join(c for j, c in enumerate(t) if j % 5 != 2),
+                       2: "unrelated reference words"}[mode]
+                pred = f"<math>{t}</math>"
+                pairs.append((key, pred, ref))
+                import math
+
+                exp.append((key,
+                            math.floor(render_ink_iou(pred, ref) * 1e6)))
+    return pairs, exp
+
+
+def q_render_check(spark, sf_dir):
+    """Render-based visual check (metrics.render_overlap_score): both
+    sides of each (pred, ref) pair are tag-stripped, rasterized with the
+    debug font, and scored by ink-pixel IoU — the deterministic analog
+    of the reference's KaTeX render comparison (surya/debug/
+    render_html.py + benchmark/texify.py). <math>-wrapped predictions
+    must score 1.0 against their plain text (mode-0 rows)."""
+    from surya_spark.functions import metrics as M
+
+    pairs, _ = _render_fixture()
+    df = spark.createDataFrame(pairs, "key long, pred string, ref string")
+    out = M.render_overlap_score(df)
+    return out.select(
+        "key", F.floor(F.col("render_iou") * 1e6).alias("iou_u"))
+
+
 def q_coverage_metric(spark, sf_dir):
     # numpy per-page coverage sweep (functions/metrics.py): exact integer
     # geometry → bit-identical to the pairwise-join formulation, ~7× faster
@@ -1335,6 +1380,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spanning_cells": q_spanning_cells,
         "word_assembly": q_word_assembly,
         "fuzzy_overlap": q_fuzzy_overlap,
+        "render_check": q_render_check,
         "coverage_metric": q_coverage_metric,
         "confidence_normalize": q_confidence_normalize,
         "bbox6_roundtrip": q_bbox6_roundtrip,
@@ -1696,6 +1742,12 @@ def oracle_sql() -> dict[str, str]:
         "CAST(score_u AS BIGINT) AS score_u, n_lines FROM ("
         + _values_sql(exp_fuzzy, ["key", "score_u", "n_lines"]) + ")")
 
+    _, exp_render = _render_fixture()
+    render_sql = (
+        "SELECT CAST(key AS BIGINT) AS key, "
+        "CAST(iou_u AS BIGINT) AS iou_u FROM ("
+        + _values_sql(exp_render, ["key", "iou_u"]) + ")")
+
     cleanup_sql = f"""
         SELECT doc_id,
                CASE CAST(doc_id % 4 AS INTEGER)
@@ -1713,6 +1765,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_skew_parity": skew_parity_sql,
         "recognition_input_text": itext_sql,
         "fuzzy_overlap": fuzzy_sql,
+        "render_check": render_sql,
         "media_metadata": meta_sql,
         "media_features": feat_sql,
         "text_cleanup": cleanup_sql,

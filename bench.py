@@ -60,6 +60,7 @@ HEADLINE = [
     "spanning_cells",
     "fuzzy_overlap",
     "recognition_input_text",
+    "render_check",
 ]
 
 

@@ -236,3 +236,63 @@ def edit_distance_mean(pred: DataFrame, pred_col: str = "pred",
         F.avg("nd").alias("mean_edit_distance"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+def _render_norm(text: str) -> str:
+    """Python twin of normalize_for_edit (tag strip, whitespace collapse,
+    trim) for the render check's rasterization path."""
+    import re
+
+    return re.sub(r"\s+", " ", re.sub(r"<[^>]+>", "", text or "")).strip()
+
+
+def render_ink_iou(pred: str, ref: str) -> float:
+    """Render-based visual check for one (pred, ref) pair: both texts are
+    normalized (tag strip — so <math>x</math> and x render identically),
+    rasterized with the debug 3x5 font onto a shared canvas, and scored
+    by INK-PIXEL IoU — the deterministic stand-in for the reference's
+    KaTeX-render visual comparison path (surya/debug/render_html.py +
+    benchmark/texify.py edit gate). 1.0 when both render empty."""
+    import numpy as np
+
+    from ..sources.debug_draw import draw_text
+
+    p, r = _render_norm(pred), _render_norm(ref)
+    w = 4 * max(len(p), len(r), 1) + 2
+    masks = []
+    for t in (p, r):
+        arr = np.zeros((7, w, 3), dtype=np.uint8)
+        draw_text(arr, 1, 1, t, (255, 255, 255))
+        masks.append(arr[:, :, 0] > 0)
+    a, b = masks
+    union = int((a | b).sum())
+    return float((a & b).sum() / union) if union else 1.0
+
+
+def render_overlap_score(pairs: DataFrame,
+                         pred_col: str = "pred",
+                         ref_col: str = "ref") -> DataFrame:
+    """(key, pred, ref) → per-pair render_ink_iou, Arrow-batched. The
+    render happens where the pair row lives — no shuffle beyond the
+    input's partitioning; cost ∝ text length, perfectly parallel."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        pairs.schema["key"],
+        T.StructField("render_iou", T.DoubleType(), False),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "key": pdf["key"],
+                "render_iou": [
+                    render_ink_iou(p, r)
+                    for p, r in zip(pdf[pred_col], pdf[ref_col])
+                ],
+            }) if len(pdf) else pd.DataFrame(
+                {f.name: pd.Series([], dtype=object) for f in out_schema})
+
+    return pairs.select("key", pred_col, ref_col).mapInPandas(
+        run, schema=out_schema)

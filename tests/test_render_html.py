@@ -43,6 +43,19 @@ def test_markup_passthrough_vs_escape():
     assert RH.KATEX_MARKER in html
 
 
+def test_render_ink_iou_semantics():
+    """Render-based visual check: tag-stripped identical text scores 1.0,
+    small perturbations score high-but-below-1, unrelated text scores
+    low, and empty-vs-empty is defined as 1.0."""
+    from surya_spark.functions.metrics import render_ink_iou
+
+    assert render_ink_iou("<math>abc def</math>", "abc def") == 1.0
+    near = render_ink_iou("abc def", "abc dxf")
+    far = render_ink_iou("abc", "zzz qqq")
+    assert 0.8 < near < 1.0 and far < 0.5
+    assert render_ink_iou("", "<math></math>") == 1.0
+
+
 def test_spark_render_and_file_sink(spark, tmp_path):
     from surya_spark.operators import detection, reading_order, recognition
 
