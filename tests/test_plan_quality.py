@@ -124,3 +124,38 @@ def test_extract_blob_bytes_shuffle_once(spark):
         if "Exchange" in ln and "img_bytes" in ln
     ]
     assert blob_exchanges == [], blob_exchanges
+
+
+def test_debug_and_render_sinks_no_driver_broadcasts(spark):
+    """The round-5 visualization operators reuse the aggregate-then-join
+    shape; their item/line sides derive from the corpus, so no
+    BroadcastExchange may appear, and page blob bytes must stay out of
+    every exchange (only width/height join in)."""
+    from surya_spark import datagen, pipeline
+    from surya_spark.operators import detection, reading_order, recognition
+    from surya_spark.sources import debug_draw, render_html
+
+    docs = datagen.gen_documents(spark, 8, partitions=2)
+    blobs = datagen.gen_page_blobs(spark, 8, partitions=2)
+    pages = pipeline.pages_for(docs, blobs)
+    lines = detection.detection_stage(pages)
+
+    overlay_plan = _plan(debug_draw.debug_overlays(lines, pages))
+    ocr = recognition.recognize(
+        recognition.slice_crops(
+            reading_order.order_lines(lines).select(
+                "media_ref", "line_idx", "position",
+                "x1", "y1", "x2", "y2", "polygon"), pages),
+        emit_chars=False)
+    render_plan = _plan(render_html.html_render_pages(ocr, pages))
+
+    for plan in (overlay_plan, render_plan):
+        assert "BroadcastExchange" not in plan
+        assert "BroadcastHashJoin" not in plan
+    # the render join reads only (media_ref, width, height) of pages —
+    # blob bytes are pruned before any exchange on that branch
+    render_blob_exchanges = [
+        ln for ln in render_plan.splitlines()
+        if "Exchange" in ln and "img_bytes" in ln
+    ]
+    assert render_blob_exchanges == [], render_blob_exchanges
