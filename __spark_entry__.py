@@ -739,6 +739,26 @@ def q_render_check(spark, sf_dir):
         "key", F.floor(F.col("render_iou") * 1e6).alias("iou_u"))
 
 
+def q_drop_repeats(spark, sf_dir):
+    """drop_repeated_text post-check (recognition.drop_repeated_lines;
+    ref recognition/__init__.py:643-655 + util.py:59-69, pinned by ref
+    tests/test_recognition.py:41-56): every 3rd doc's line is replaced
+    by a degenerate 2-token loop, which must come back blanked with
+    confidence 0; natural-text lines pass through. The oracle replicates
+    the full periodicity rule (trailing-window distinct count + exact
+    run repetition) in SQL over per-char lists."""
+    from surya_spark.operators import recognition as R
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.expr("repeat('ab', 40)"))
+        .otherwise(F.substring("text", 1, 50)).alias("text"),
+        F.lit(0.5).alias("confidence"),
+    )
+    out = R.drop_repeated_lines(d)
+    return out.select("doc_id", "text", "confidence")
+
+
 def q_coverage_metric(spark, sf_dir):
     # numpy per-page coverage sweep (functions/metrics.py): exact integer
     # geometry → bit-identical to the pairwise-join formulation, ~7× faster
@@ -1381,6 +1401,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_assembly": q_word_assembly,
         "fuzzy_overlap": q_fuzzy_overlap,
         "render_check": q_render_check,
+        "drop_repeats": q_drop_repeats,
         "coverage_metric": q_coverage_metric,
         "confidence_normalize": q_confidence_normalize,
         "bbox6_roundtrip": q_bbox6_roundtrip,
@@ -1766,6 +1787,35 @@ def oracle_sql() -> dict[str, str]:
         "recognition_input_text": itext_sql,
         "fuzzy_overlap": fuzzy_sql,
         "render_check": render_sql,
+        "drop_repeats": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN repeat('ab', 40)
+                          ELSE substr(text, 1, 50) END AS text
+              FROM documents),
+            r AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(text) >= 40
+                          THEN right(text, 40) ELSE NULL END AS tail
+              FROM d),
+            u AS (
+              SELECT doc_id, text, tail,
+                     CASE WHEN tail IS NULL THEN NULL
+                          ELSE len(list_distinct(
+                                 [substr(tail, i, 1)
+                                  for i in range(1, 41)])) END AS nd
+              FROM r),
+            f AS (
+              SELECT doc_id, text,
+                     tail IS NOT NULL AND nd <= 5
+                       AND right(tail, nd)
+                           = substr(right(tail, 2 * nd), 1, nd) AS rep
+              FROM u)
+            SELECT doc_id,
+                   CASE WHEN rep THEN '' ELSE text END AS text,
+                   CASE WHEN rep THEN 0.0 ELSE 0.5 END AS confidence
+            FROM f
+        """,
         "media_metadata": meta_sql,
         "media_features": feat_sql,
         "text_cleanup": cleanup_sql,

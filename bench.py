@@ -61,6 +61,7 @@ HEADLINE = [
     "fuzzy_overlap",
     "recognition_input_text",
     "render_check",
+    "drop_repeats",
 ]
 
 

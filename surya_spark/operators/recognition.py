@@ -434,6 +434,32 @@ def recognize_blocks(pages: DataFrame,
     return recognize(crops, slot, task="block_without_boxes")
 
 
+def drop_repeated_lines(ocr_lines: DataFrame, window: int = 40) -> DataFrame:
+    """The reference's drop_repeated_text=True post-check
+    (/root/reference/surya/recognition/__init__.py:643-655, pinned by ref
+    tests/test_recognition.py:41-56): a line whose decoded stream has
+    degenerated into a short loop — detect_repeat_token over the char
+    stream, the decode-side image of the token loop (util.py:59-69) —
+    is blanked (text '', confidence 0.0,
+    chars []) instead of shipping garbage downstream. Pure column
+    expressions over the line table; no shuffle, no Python."""
+    from ..functions.text import detect_repeat_token
+
+    # chars-as-tokens: the relational stand-in for the decoder's token-id
+    # stream (a looping id stream IS a looping char stream after decode)
+    toks = F.array_remove(F.split(F.col("text"), ""), "")
+    rep = detect_repeat_token(toks, window)
+    cols = {
+        "text": F.when(rep, F.lit("")).otherwise(F.col("text")),
+        "confidence": F.when(rep, F.lit(0.0)).otherwise(F.col("confidence")),
+    }
+    if "chars" in ocr_lines.columns:
+        # slice(chars, 1, 0) = typed empty array (array() would be void)
+        cols["chars"] = F.when(rep, F.slice("chars", 1, 0)) \
+            .otherwise(F.col("chars"))
+    return ocr_lines.withColumns(cols)
+
+
 def line_confidence(ocr_lines: DataFrame) -> DataFrame:
     """Line confidence = mean of char confidences
     (/root/reference/surya/recognition/__init__.py:901-905) as an array

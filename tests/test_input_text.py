@@ -116,3 +116,34 @@ def test_all_three_paths_identical_under_conditioning(spark):
         crops, step_slot=slots.SurrogateStepRecognizer(), rec_slots=4))
     assert batched == plain and stepped == plain and len(plain) > 0
     assert any(r[3] for r in plain) and any(not r[3] for r in plain)
+
+
+def test_drop_repeated_lines_blanks_loops(spark):
+    """drop_repeated_text parity (ref recognition/__init__.py:643-655 +
+    tests/test_recognition.py:41-56): a degenerate short-loop line is
+    blanked (text '', confidence 0, chars []); natural text untouched."""
+    from pyspark.sql import types as T
+
+    from surya_spark import schemas
+
+    ch = {"text": "a", "x1": 0.0, "y1": 0.0, "x2": 1.0, "y2": 1.0,
+          "confidence": 0.9, "bbox_valid": True}
+    rows = [("p", 0, "ab" * 40, [ch], 0.9),
+            ("p", 1, "the quick brown fox jumps over the lazy dog and "
+                     "keeps going with more distinct words", [ch], 0.8)]
+    df = spark.createDataFrame(
+        rows, T.StructType([
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("line_idx", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("chars", T.ArrayType(schemas.TEXT_CHAR)),
+            T.StructField("confidence", T.DoubleType()),
+        ]))
+    from surya_spark.operators import recognition
+
+    out = {r["line_idx"]: r
+           for r in recognition.drop_repeated_lines(df).collect()}
+    assert out[0]["text"] == "" and out[0]["confidence"] == 0.0
+    assert out[0]["chars"] == []
+    assert out[1]["text"].startswith("the quick")
+    assert out[1]["confidence"] == 0.8 and len(out[1]["chars"]) == 1
