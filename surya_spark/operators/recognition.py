@@ -406,13 +406,19 @@ def recognize_given_boxes(boxes: DataFrame, pages: DataFrame,
     mode (input_text= kwarg, ref :783-853): per-line given text seeds
     the decode; lines whose text the model confirms come back with the
     original text, confidence 1.0 and original_text_good=true (see
-    recognize)."""
+    recognize).
+
+    An optional `polygon` column is the reference's polygons= input
+    (slice_polys_from_image, ref recognition/__init__.py:199-254):
+    skewed quads mask their crops exactly as on the detection path;
+    axis-aligned quads are bit-identical to the bbox form."""
     if "position" not in boxes.columns:
         w = Window.partitionBy("media_ref").orderBy("y1", "x1", "line_idx")
         boxes = boxes.withColumn("position", F.row_number().over(w))
     cols = ["media_ref", "line_idx", "position", "x1", "y1", "x2", "y2"]
-    if "input_text" in boxes.columns:
-        cols.append("input_text")
+    for opt in ("polygon", "input_text"):
+        if opt in boxes.columns:
+            cols.append(opt)
     crops = slice_crops(boxes.select(*cols), pages)
     return recognize(crops, slot, task)
 
@@ -509,6 +515,29 @@ def dedupe_close_chars(ocr_lines: DataFrame, tol: float = 0.1) -> DataFrame:
         ocr_lines.drop("chars")
         .join(rebuilt, ["media_ref", "line_idx"], "left")
         .withColumn("chars", F.coalesce("chars", F.array()))
+    )
+
+
+def attach_words(ocr_lines: DataFrame) -> DataFrame:
+    """The reference's return_words=True output shape (words_from_chars,
+    ref surya/recognition/util.py:123-154, attached per line at
+    recognition/__init__.py:925-927): adds a `words` array column —
+    assemble_words re-nested at line grain, ordered by word_idx. Lines
+    with no chars (emit_chars=False upstream, or whitespace-only) get an
+    empty array. One media_ref-keyed shuffle for the group + join; the
+    words side derives from the corpus, so shuffle_hash, never a driver
+    broadcast."""
+    words = assemble_words(ocr_lines)
+    nested = words.groupBy("media_ref", "line_idx").agg(
+        F.array_sort(
+            F.collect_list(F.struct("word_idx", "word",
+                                    "x1", "y1", "x2", "y2"))
+        ).alias("words"))
+    empty = F.array().cast(nested.schema["words"].dataType)
+    return (
+        ocr_lines.join(nested.hint("shuffle_hash"),
+                       ["media_ref", "line_idx"], "left")
+        .withColumn("words", F.coalesce("words", empty))
     )
 
 

@@ -250,3 +250,50 @@ def test_continuous_schedule_runaway_guard():
     with pytest.raises(RuntimeError, match="max_steps"):
         recognition._continuous_schedule(
             [1, 2], ["t", "t"], NeverDone(), n_slots=2, max_steps=50)
+
+
+def test_attach_words_matches_text_split(spark):
+    """return_words parity (ref util.py:123-154 + recognition
+    __init__.py:925-927): the per-line words array re-joins word
+    assembly at line grain, ordered, with running-union bboxes inside
+    the line bbox."""
+    pages = _pages(spark, n=4)
+    ocr = None
+    from surya_spark.operators import detection, reading_order
+
+    ordered = reading_order.order_lines(detection.detection_stage(pages))
+    crops = recognition.slice_crops(
+        ordered.select("media_ref", "line_idx", "position",
+                       "x1", "y1", "x2", "y2"), pages)
+    ocr = recognition.recognize(crops, emit_chars=True)
+    out = recognition.attach_words(ocr).collect()
+    assert out
+    checked = 0
+    for r in out:
+        words = [w["word"] for w in r["words"]]
+        assert words == r["text"].split()
+        for w in r["words"]:
+            assert r["x1"] <= w["x1"] <= w["x2"] <= r["x2"] + 1e-9
+        checked += len(words)
+    assert checked > 0
+
+
+def test_given_boxes_polygon_passthrough(spark):
+    """recognize_given_boxes forwards a polygon column (the reference's
+    polygons= input): a 2px strip quad masks the truth line away, so
+    the decoded text differs from the bbox-only call."""
+    pages = _pages(spark, n=4)
+    row = pages.limit(1).collect()[0]
+    desc = datagen.decode_page(bytes(row["img_bytes"]))
+    ln = desc["lines"][0]
+    x1, y1, x2, y2 = (float(v) for v in ln["bbox"])
+    base = [(row["media_ref"], 0, x1, y1, x2, y2,
+             [[x1, y1], [x1 + 2.0, y1], [x1 + 2.0, y2], [x1, y2]])]
+    schema = ("media_ref string, line_idx int, x1 double, y1 double, "
+              "x2 double, y2 double, polygon array<array<double>>")
+    boxes = spark.createDataFrame(base, schema)
+    with_poly = recognition.recognize_given_boxes(boxes, pages).collect()[0]
+    without = recognition.recognize_given_boxes(
+        boxes.drop("polygon"), pages).collect()[0]
+    assert without["text"] == ln["text"]
+    assert with_poly["text"] != ln["text"]
