@@ -179,26 +179,29 @@ def apply_spanning_cells(cells: DataFrame, items: DataFrame,
         F.min(F.when(F.col("span_id").isNotNull(),
                      F.struct("row_id", "col_id"))).over(w),
     )
-    uncovered = marked.filter(F.col("span_id").isNull()).select(
+    # Single pass, no union: a row survives iff it is uncovered OR the
+    # min-(row,col) anchor of its span; covered survivors take the span
+    # bbox + colspan/rowspan in the same projection. The earlier
+    # uncovered ∪ anchors form consumed `marked` TWICE, re-executing the
+    # coverage join + window per branch (BENCH.md rule 2) — at corpus
+    # scale that is a doubled shuffle for identical output.
+    covered = F.col("span_id").isNotNull()
+    is_anchor = (
+        covered
+        & (F.col("row_id") == F.col("_anchor.row_id"))
+        & (F.col("col_id") == F.col("_anchor.col_id"))
+    )
+    return marked.filter(F.col("span_id").isNull() | is_anchor).select(
         "media_ref", "table_idx", "row_id", "col_id", "is_header",
-        "x1", "y1", "x2", "y2",
-        F.lit(1).alias("colspan"), F.lit(1).alias("rowspan"),
+        F.when(covered, F.col("sx1")).otherwise(F.col("x1")).alias("x1"),
+        F.when(covered, F.col("sy1")).otherwise(F.col("y1")).alias("y1"),
+        F.when(covered, F.col("sx2")).otherwise(F.col("x2")).alias("x2"),
+        F.when(covered, F.col("sy2")).otherwise(F.col("y2")).alias("y2"),
+        F.when(covered, F.col("span_colspan")).otherwise(F.lit(1))
+        .cast("int").alias("colspan"),
+        F.when(covered, F.col("span_rowspan")).otherwise(F.lit(1))
+        .cast("int").alias("rowspan"),
     )
-    anchors = (
-        marked.filter(
-            F.col("span_id").isNotNull()
-            & (F.col("row_id") == F.col("_anchor.row_id"))
-            & (F.col("col_id") == F.col("_anchor.col_id"))
-        )
-        .select(
-            "media_ref", "table_idx", "row_id", "col_id", "is_header",
-            F.col("sx1").alias("x1"), F.col("sy1").alias("y1"),
-            F.col("sx2").alias("x2"), F.col("sy2").alias("y2"),
-            F.col("span_colspan").alias("colspan"),
-            F.col("span_rowspan").alias("rowspan"),
-        )
-    )
-    return uncovered.unionByName(anchors)
 
 
 def assign_cell_text(cells: DataFrame, ocr_lines: DataFrame) -> DataFrame:
