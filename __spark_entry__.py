@@ -1054,6 +1054,26 @@ def q_greedy_iou_match(spark, sf_dir):
                       F.round("iou", 6).alias("iou"))
 
 
+def q_penalized_iou(spark, sf_dir):
+    """Table-benchmark penalized IoU per page
+    (matching.penalized_iou_scores; ref benchmark/utils/metrics.py:57-60):
+    greedy max-coverage assignment with the >0.95 snap, −1 per unmatched
+    ref, 0 per unmatched pred. Ships exact integers (floored 1e-6 units
+    + closed-form count terms) so per-key sums are order-independent on
+    both engines; the oracle reruns the greedy as the established
+    recursive LATERAL state machine with the coverage metric."""
+    from surya_spark.operators.matching import penalized_iou_scores
+
+    p = _boxes(spark, sf_dir).filter(F.col("page_id") < 50).select(
+        F.col("page_id").cast("string").alias("key"), "box_id",
+        "x1", "y1", "x2", "y2")
+    t = _truth_boxes(spark, sf_dir).filter(F.col("page_id") < 50).select(
+        F.col("page_id").cast("string").alias("key"),
+        F.col("tbox_id").alias("box_id"), "x1", "y1", "x2", "y2")
+    return penalized_iou_scores(p, t).select(
+        "key", "score_num_u", "denom")
+
+
 def q_vertical_line_merge(spark, sf_dir):
     from surya_spark.operators.matching import merge_vertical_lines
 
@@ -1432,6 +1452,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "media_metadata": q_media_metadata,
         "greedy_iou_match": q_greedy_iou_match,
+        "penalized_iou": q_penalized_iou,
         "vertical_line_merge": q_vertical_line_merge,
         "text_cleanup": q_text_cleanup,
         "media_features": q_media_features,
@@ -2669,6 +2690,68 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY r.iou DESC, r.pred_id, r.ref_id LIMIT 1) c
             )
             SELECT key, pred_id, ref_id, round(iou, 6) AS iou FROM sel
+        """,
+        # penalized IoU: same recursive greedy state machine with the
+        # COVERAGE metric (inter / ref area), then exact integer scoring
+        # (floored 1e-6 units; −1e6 per unmatched ref via count terms)
+        "penalized_iou": f"""
+            WITH RECURSIVE
+            preds AS (
+              SELECT CAST(page_id AS VARCHAR) AS key, box_id AS pred_id,
+                     x1, y1, x2, y2
+              FROM ({_BOXES_SQL}) WHERE page_id < 50
+            ),
+            refs AS (
+              SELECT CAST(page_id AS VARCHAR) AS key, tbox_id AS ref_id,
+                     x1 AS rx1, y1 AS ry1, x2 AS rx2, y2 AS ry2
+              FROM ({_TRUTH_SQL}) WHERE page_id < 50
+            ),
+            pairs AS (
+              SELECT key, pred_id, ref_id,
+                     greatest(least(x2, rx2) - greatest(x1, rx1), 0)
+                       * greatest(least(y2, ry2) - greatest(y1, ry1), 0)
+                       AS inter,
+                     (rx2 - rx1) * (ry2 - ry1) AS ra
+              FROM preds JOIN refs USING (key)
+            ),
+            scored AS (
+              SELECT key, pred_id, ref_id, inter / ra AS cov
+              FROM pairs WHERE inter > 0 AND ra > 0
+            ),
+            sel AS (
+              SELECT key, [pred_id] AS up, [ref_id] AS ur,
+                     pred_id, ref_id, cov
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY key
+                      ORDER BY cov DESC, pred_id, ref_id) AS rk
+                    FROM scored)
+              WHERE rk = 1
+              UNION ALL
+              SELECT s.key, list_append(s.up, c.pred_id),
+                     list_append(s.ur, c.ref_id), c.pred_id, c.ref_id, c.cov
+              FROM sel s, LATERAL (
+                SELECT pred_id, ref_id, cov FROM scored r
+                WHERE r.key = s.key
+                  AND NOT list_contains(s.up, r.pred_id)
+                  AND NOT list_contains(s.ur, r.ref_id)
+                ORDER BY r.cov DESC, r.pred_id, r.ref_id LIMIT 1) c
+            ),
+            m AS (
+              SELECT key,
+                     sum(CAST(floor(
+                       CASE WHEN cov > 0.95 THEN 1.0 ELSE cov END * 1e6)
+                       AS BIGINT)) AS cov_sum_u
+              FROM sel GROUP BY key
+            ),
+            np AS (SELECT key, count(*) AS n_pred FROM preds GROUP BY key),
+            nr AS (SELECT key, count(*) AS n_ref FROM refs GROUP BY key)
+            SELECT key,
+                   CAST(coalesce(cov_sum_u, 0)
+                        - (n_ref - least(n_pred, n_ref)) * 1000000
+                        AS BIGINT) AS score_num_u,
+                   CAST(n_pred + n_ref - least(n_pred, n_ref)
+                        AS BIGINT) AS denom
+            FROM np JOIN nr USING (key) LEFT JOIN m USING (key)
         """,
         # union-find transitive merge as a reachability closure (UNION
         # dedup recursion); component id = dense rank of min seg_id, the

@@ -62,6 +62,7 @@ HEADLINE = [
     "recognition_input_text",
     "render_check",
     "drop_repeats",
+    "penalized_iou",
 ]
 
 

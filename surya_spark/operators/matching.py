@@ -20,11 +20,16 @@ _MATCH_OUT = T.StructType([
 ])
 
 
-def greedy_iou_match(pred: DataFrame, ref: DataFrame) -> DataFrame:
-    """Greedy 1-1 matching: repeatedly take the highest-IoU unmatched
+def greedy_iou_match(pred: DataFrame, ref: DataFrame,
+                     metric: str = "iou") -> DataFrame:
+    """Greedy 1-1 matching: repeatedly take the highest-scoring unmatched
     (pred, ref) pair — the reference's benchmark matcher
     (/root/reference/benchmark/utils/metrics.py:23-60). Inherently
-    sequential per page → applyInPandas on the page key."""
+    sequential per page → applyInPandas on the page key.
+
+    metric: 'iou' (symmetric, the detection benchmark) or 'coverage'
+    (intersection / REF-box area — the box1_only=True form the table
+    benchmark's penalized score matches on, metrics.py:12-20)."""
     p = pred.select("key", F.col("box_id").alias("pred_id"),
                     "x1", "y1", "x2", "y2")
     r = ref.select("key", F.col("box_id").alias("ref_id"),
@@ -49,8 +54,12 @@ def greedy_iou_match(pred: DataFrame, ref: DataFrame) -> DataFrame:
         inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
         pa = (px[:, 2] - px[:, 0]) * (px[:, 3] - px[:, 1])
         ra = (rx[:, 2] - rx[:, 0]) * (rx[:, 3] - rx[:, 1])
-        union = pa[:, None] + ra[None, :] - inter
-        iou = np.where(union > 0, inter / union, 0.0)
+        if metric == "coverage":
+            denom = np.broadcast_to(ra[None, :], inter.shape).copy()
+        else:
+            denom = pa[:, None] + ra[None, :] - inter
+        iou = np.divide(inter, denom, out=np.zeros_like(inter),
+                        where=denom > 0)
         out = []
         used_p: set[int] = set()
         used_r: set[int] = set()
@@ -145,3 +154,49 @@ def merge_vertical_lines(segments: DataFrame, x_tol: float = 12.0,
         return pd.DataFrame(out, columns=[f.name for f in _VLINE_OUT])
 
     return segments.groupBy("key").applyInPandas(merge, schema=_VLINE_OUT)
+
+
+def penalized_iou_scores(pred: DataFrame, ref: DataFrame) -> DataFrame:
+    """The table benchmark's penalized IoU score per key
+    (/root/reference/benchmark/utils/metrics.py:57-60 + match_boxes
+    :23-55): greedy max-coverage assignment (coverage = intersection /
+    ref-box area, the box1_only form), matched coverage > 0.95 snapped
+    to 1.0, −1 per unmatched ref box, 0 per unmatched pred box,
+    denominator = n_pred + n_ref − min(n_pred, n_ref).
+
+    Two deliberate deviations with identical scores: (1) the reference
+    assigns even zero-coverage pairs while preds and refs both remain —
+    a zero assignment contributes exactly 0, the same as the unmatched
+    pred it displaces, and never changes the unmatched-REF count
+    (min(n_pred, n_ref) pairs always assign), so only the >0 greedy
+    matches need materializing; (2) ties break (score DESC, pred_id,
+    ref_id) — deterministic, where the reference inherits its input
+    list order (shuffle-dependent in a distributed setting).
+
+    Exactness: per-match coverage is floored to 1e-6 units (BIGINT), so
+    per-key sums are exact integer arithmetic on both engines — the
+    score ships as (score_num_u, denom) integers plus a convenience
+    float. Scale: one applyInPandas per key + two count aggregates; no
+    all-pairs shuffle beyond the per-key matcher."""
+    matched = greedy_iou_match(pred, ref, metric="coverage")
+    snapped = F.when(F.col("iou") > 0.95, F.lit(1.0)).otherwise(F.col("iou"))
+    agg = matched.groupBy("key").agg(
+        F.sum(F.floor(snapped * 1e6)).cast("long").alias("cov_sum_u"))
+    n_p = pred.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pred"))
+    n_r = ref.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ref"))
+    j = (
+        n_p.join(n_r, "key", "outer")
+        .join(agg, "key", "left")
+        .na.fill({"n_pred": 0, "n_ref": 0, "cov_sum_u": 0})
+    )
+    mn = F.least("n_pred", "n_ref")
+    denom = F.col("n_pred") + F.col("n_ref") - mn
+    num = F.col("cov_sum_u") - (F.col("n_ref") - mn) * F.lit(1_000_000)
+    return j.select(
+        "key",
+        num.cast("long").alias("score_num_u"),
+        denom.cast("long").alias("denom"),
+        (num / denom / F.lit(1e6)).alias("score"),
+    )

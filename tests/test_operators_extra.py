@@ -271,3 +271,30 @@ def test_containment_keep_blocked_matches_single_block():
         blocked = _containment_keep(
             x1, y1, x2, y2, ids, block_elems=rows_per_block * n)
         assert (blocked == expected).all(), rows_per_block
+
+
+def test_penalized_iou_snap_and_penalties(spark):
+    """penalized_iou_scores semantics (ref benchmark/utils/metrics.py:
+    57-60): coverage > 0.95 snaps to 1.0; an unmatched ref costs -1; an
+    unmatched pred costs 0; denominator = n_pred + n_ref - min."""
+    from surya_spark.operators.matching import penalized_iou_scores
+
+    schema = ("key string, box_id long, x1 double, y1 double, "
+              "x2 double, y2 double")
+    # key a: pred1 covers ref A 97% (snap), pred2 hits nothing ->
+    # ref-assignment at 0 equals the unmatched-pred contribution:
+    # score = (1.0 + 0) / 2 = 0.5
+    # key b: one pred covers ref A 97%, ref B unmatched:
+    # score = (1.0 - 1.0) / (1 + 2 - 1) = 0.0
+    pred = spark.createDataFrame(
+        [("a", 1, 0.0, 0.0, 97.0, 10.0), ("a", 2, 500.0, 500.0, 510.0, 510.0),
+         ("b", 1, 0.0, 0.0, 97.0, 10.0)], schema)
+    ref = spark.createDataFrame(
+        [("a", 10, 0.0, 0.0, 100.0, 10.0), ("a", 11, 900.0, 900.0, 910.0, 910.0),
+         ("b", 10, 0.0, 0.0, 100.0, 10.0), ("b", 11, 900.0, 900.0, 910.0, 910.0)],
+        schema)
+    out = {r["key"]: r for r in penalized_iou_scores(pred, ref).collect()}
+    assert out["a"]["score_num_u"] == 1_000_000 and out["a"]["denom"] == 2
+    assert abs(out["a"]["score"] - 0.5) < 1e-12
+    assert out["b"]["score_num_u"] == 0 and out["b"]["denom"] == 2
+    assert out["b"]["score"] == 0.0
