@@ -122,13 +122,15 @@ def main() -> None:
         from surya_spark.operators import detection as det_op
         from surya_spark.sources import debug_draw
 
-        pages = pipeline.pages_for(docs, blobs)
+        # pages feeds detection AND the overlay join — persist (rule 2)
+        pages = pipeline.pages_for(docs, blobs).persist()
         lines = (spark.read.parquet(args.out) if args.stage == "detect"
                  else det_op.detection_stage(pages))
         overlays = debug_draw.debug_overlays(lines, pages)
         debug_draw.write_pngs(overlays, args.debug_images)
         n_png = overlays.count()
         print(f"debug overlays: {n_png} pages -> {args.debug_images}")
+        pages.unpersist()
 
     if args.render_html:
         from surya_spark.operators import (detection as det_op,
