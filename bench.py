@@ -79,8 +79,8 @@ def extract_stage_times(spark, docs, blobs, par: int) -> dict[str, float]:
     each number as a sample with BENCH.md's documented host-disk
     variance, and the min-of-reps end-to-end figure as the headline."""
     from surya_spark import pipeline as P
-    from surya_spark.operators import (assemble, detection, layout,
-                                       reading_order, recognition, tables)
+    from surya_spark.operators import (assemble, layout, recognition,
+                                       tables)
 
     st: dict[str, float] = {}
     cached = []
@@ -94,11 +94,8 @@ def extract_stage_times(spark, docs, blobs, par: int) -> dict[str, float]:
         return df
 
     pages = step("pages", P.pages_for(docs, blobs, partitions=par))
-    ordered = step("detect_order",
-                   reading_order.order_lines(detection.detection_stage(pages)))
-    crops = step("slice_mask", recognition.slice_crops(
-        ordered.select("media_ref", "line_idx", "position",
-                       "x1", "y1", "x2", "y2", "polygon"), pages))
+    crops = step("detect_order_slice",
+                 recognition.fused_page_crops(pages))
     ocr = step("recognize",
                recognition.recognize(crops, emit_chars=False))
     regions = step("layout", layout.layout_stage_tiled(pages))

@@ -179,6 +179,98 @@ def slice_crops(lines: DataFrame, pages: DataFrame,
     return joined.mapInPandas(run, schema=out_schema)
 
 
+def fused_page_crops(pages: DataFrame,
+                     detect_slot: Callable = None,
+                     band: float | None = None) -> DataFrame:
+    """One page-grain pass for the flagship's detect→order→slice chain:
+    detect slot → fused post-process (detection._postprocess_page) →
+    column-aware reading order (reading_order.order_lines semantics,
+    replicated per page) → crop slicing (slots.encode_crop), emitting
+    the same crop rows slice_crops produces — without ever
+    materializing the line table.
+
+    Why: mapInPandas erases partitioning info, so the relational chain
+    re-shuffles the line rows TWICE even though every computation is
+    page-local — once for the reading-order window, once for the slice
+    groupBy aggregate (+ its join back onto the pre-partitioned pages).
+    This pass deletes both exchanges (round-3 lesson: per-page work
+    belongs inside the page-grain UDF). The relational operators remain
+    the library surface for callers that need the intermediate line
+    table (given-boxes mode, checkpointed stage grain, highres); crops
+    are pytest-pinned byte-identical against that path.
+
+    Ordering contract matches order_lines exactly: two-column iff no
+    line crosses the central strip (x1 < 0.48w AND x2 > 0.52w), col_id
+    by center-x half, y-band floor(y1/band), position = 1-based rank by
+    (col_id, y_band, x1, y1) — line_idx appended as the final tie-break
+    (the relational row_number is partition-order-dependent on exact
+    ties; fixtures keep keys unique).
+
+    No highres variant: the 2x-render path needs the second blob table
+    and stays on relational slice_crops."""
+    import math
+
+    from ..datagen import BAND as _BAND
+    from . import detection as _det
+
+    if detect_slot is None:
+        detect_slot = slots.surrogate_detect
+    band_v = float(_BAND) if band is None else float(band)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, w, h, blob in zip(
+                pdf["media_ref"], pdf["width"], pdf["height"],
+                pdf["img_bytes"],
+            ):
+                blob = bytes(blob)
+                wd = float(w)
+                page_rows = []
+                for i, d in enumerate(
+                        detect_slot(ref, int(w), int(h), blob)):
+                    poly = d["polygon"]
+                    xs = [p[0] for p in poly]
+                    ys = [p[1] for p in poly]
+                    page_rows.append({
+                        "media_ref": ref, "line_idx": i, "polygon": poly,
+                        "x1": min(xs), "y1": min(ys),
+                        "x2": max(xs), "y2": max(ys),
+                        "confidence": d["confidence"],
+                    })
+                page_rows = _det._postprocess_page(
+                    page_rows, int(w), int(h))
+                if not page_rows:
+                    continue
+                crossing = any(
+                    r["x1"] < wd * 0.48 and r["x2"] > wd * 0.52
+                    for r in page_rows)
+                half = wd / 2.0
+                page_rows.sort(key=lambda r: (
+                    0 if crossing or (r["x1"] + r["x2"]) / 2.0 < half
+                    else 1,
+                    math.floor(r["y1"] / band_v),
+                    r["x1"], r["y1"], r["line_idx"],
+                ))
+                desc = decode_page(blob)
+                for pos, r in enumerate(page_rows, start=1):
+                    bbox = [r["x1"], r["y1"], r["x2"], r["y2"]]
+                    rows.append({
+                        "media_ref": ref,
+                        "line_idx": int(r["line_idx"]),
+                        "position": pos,
+                        "x1": r["x1"], "y1": r["y1"],
+                        "x2": r["x2"], "y2": r["y2"],
+                        "crop_bytes": slots.encode_crop(
+                            desc, bbox, r["polygon"]),
+                        "res_x": 1.0, "res_y": 1.0,
+                    })
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {f.name: pd.Series([], dtype=object) for f in _CROPS})
+
+    return pages.mapInPandas(run, schema=_CROPS)
+
+
 _OCR_OUT = T.StructType([
     T.StructField("media_ref", T.StringType(), False),
     T.StructField("line_idx", T.IntegerType(), False),

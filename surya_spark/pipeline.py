@@ -115,20 +115,29 @@ def extract(
         if persist:
             pages = caching.managed(pages)
 
-        lines = detection.detection_stage(pages, detect_slot)
-        ordered = reading_order.order_lines(lines)
-
-        # highres path: detection/layout read the lowres blob; recognition
-        # crops come from the 2x render with polygons rescaled (ref
-        # recognition/__init__.py:158-170, scripts/config.py:36-42)
-        hp = (pages_for(documents, highres_blobs)
-              if highres_blobs is not None else None)
-        crops = recognition.slice_crops(
-            ordered.select("media_ref", "line_idx", "position",
-                           "x1", "y1", "x2", "y2", "polygon"),
-            pages,
-            highres_pages=hp,
-        )
+        if highres_blobs is None:
+            # detect→order→slice fused into ONE page-grain pass: every
+            # step is page-local, so the relational chain's two
+            # line-table exchanges (order window + slice aggregate) are
+            # pure overhead — mapInPandas erases partitioning info and
+            # forced both (round-3 lesson). Crops pytest-pinned
+            # byte-identical to the relational path.
+            crops = recognition.fused_page_crops(pages, detect_slot)
+        else:
+            # highres path: detection/layout read the lowres blob;
+            # recognition crops come from the 2x render with polygons
+            # rescaled (ref recognition/__init__.py:158-170,
+            # scripts/config.py:36-42) — needs the relational slice join
+            # against the second blob table
+            lines = detection.detection_stage(pages, detect_slot)
+            ordered = reading_order.order_lines(lines)
+            hp = pages_for(documents, highres_blobs)
+            crops = recognition.slice_crops(
+                ordered.select("media_ref", "line_idx", "position",
+                               "x1", "y1", "x2", "y2", "polygon"),
+                pages,
+                highres_pages=hp,
+            )
         # chars pruned inside the UDF unless requested: span assembly never
         # reads them and they are the pipeline's single largest Python/Arrow
         # cost (see recognition.recognize docstring)

@@ -297,3 +297,34 @@ def test_given_boxes_polygon_passthrough(spark):
         boxes.drop("polygon"), pages).collect()[0]
     assert without["text"] == ln["text"]
     assert with_poly["text"] != ln["text"]
+
+
+def test_fused_page_crops_byte_identical_to_relational(spark):
+    """The flagship's fused detect→order→slice pass must emit exactly
+    the rows the relational chain produces — same keys, same positions,
+    byte-identical crop blobs — including tall pages and rotated-quad
+    detection (the CRAFT heatmap slot)."""
+    from surya_spark.operators import detection, reading_order, slots
+
+    n = 24  # includes ~5% tall pages at this count
+    docs = datagen.gen_documents(spark, n, partitions=2)
+    blobs = datagen.gen_page_blobs(spark, n, partitions=2)
+    pages = pipeline.pages_for(docs, blobs).persist()
+
+    def rows(df):
+        return sorted(
+            (r["media_ref"], r["line_idx"], r["position"],
+             r["x1"], r["y1"], r["x2"], r["y2"],
+             bytes(r["crop_bytes"]))
+            for r in df.collect())
+
+    for slot in (slots.surrogate_detect, slots.surrogate_detect_heatmap):
+        relational = rows(recognition.slice_crops(
+            reading_order.order_lines(
+                detection.detection_stage(pages, slot)
+            ).select("media_ref", "line_idx", "position",
+                     "x1", "y1", "x2", "y2", "polygon"),
+            pages))
+        fused = rows(recognition.fused_page_crops(pages, slot))
+        assert fused == relational and len(fused) > 0, slot.__name__
+    pages.unpersist()
