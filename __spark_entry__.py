@@ -1064,10 +1064,17 @@ def q_penalized_iou(spark, sf_dir):
     recursive LATERAL state machine with the coverage metric."""
     from surya_spark.operators.matching import penalized_iou_scores
 
-    p = _boxes(spark, sf_dir).filter(F.col("page_id") < 50).select(
+    # thinner fixture than greedy_iou_match: the per-page greedy loop is
+    # O(positive pairs) in Python, and the sf0.1 box density made the
+    # full 50-page fixture a 23 s bench entry — the deterministic
+    # box_id/tbox_id subsamples keep every code path (snap, penalties,
+    # ties) at ~1/10 the pairwise work, identically on both engines
+    p = _boxes(spark, sf_dir).filter(
+        (F.col("page_id") < 50) & (F.col("box_id") % 10 <= 2)).select(
         F.col("page_id").cast("string").alias("key"), "box_id",
         "x1", "y1", "x2", "y2")
-    t = _truth_boxes(spark, sf_dir).filter(F.col("page_id") < 50).select(
+    t = _truth_boxes(spark, sf_dir).filter(
+        (F.col("page_id") < 50) & (F.col("tbox_id") % 3 == 0)).select(
         F.col("page_id").cast("string").alias("key"),
         F.col("tbox_id").alias("box_id"), "x1", "y1", "x2", "y2")
     return penalized_iou_scores(p, t).select(
@@ -2699,12 +2706,14 @@ def oracle_sql() -> dict[str, str]:
             preds AS (
               SELECT CAST(page_id AS VARCHAR) AS key, box_id AS pred_id,
                      x1, y1, x2, y2
-              FROM ({_BOXES_SQL}) WHERE page_id < 50
+              FROM ({_BOXES_SQL})
+              WHERE page_id < 50 AND box_id % 10 <= 2
             ),
             refs AS (
               SELECT CAST(page_id AS VARCHAR) AS key, tbox_id AS ref_id,
                      x1 AS rx1, y1 AS ry1, x2 AS rx2, y2 AS ry2
-              FROM ({_TRUTH_SQL}) WHERE page_id < 50
+              FROM ({_TRUTH_SQL})
+              WHERE page_id < 50 AND tbox_id % 3 = 0
             ),
             pairs AS (
               SELECT key, pred_id, ref_id,

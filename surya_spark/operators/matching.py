@@ -178,6 +178,13 @@ def penalized_iou_scores(pred: DataFrame, ref: DataFrame) -> DataFrame:
     score ships as (score_num_u, denom) integers plus a convenience
     float. Scale: one applyInPandas per key + two count aggregates; no
     all-pairs shuffle beyond the per-key matcher."""
+    from ..plans import caching
+
+    # pred/ref each feed TWO consumers (the matcher and the count
+    # aggregate) — unpersisted, the upstream lineage (often a deduped
+    # scan) re-executes per branch (CLAUDE.md rule 2)
+    pred = caching.managed(pred)
+    ref = caching.managed(ref)
     matched = greedy_iou_match(pred, ref, metric="coverage")
     snapped = F.when(F.col("iou") > 0.95, F.lit(1.0)).otherwise(F.col("iou"))
     agg = matched.groupBy("key").agg(
