@@ -1332,7 +1332,11 @@ def q_recognition_input_text(spark, sf_dir):
         [r[:7] for r in _itext_fixture()],
         "media_ref string, line_idx int, x1 double, y1 double, "
         "x2 double, y2 double, input_text string")
-    out = recognition.recognize_given_boxes(boxes, pages)
+    # only text/confidence/original_text_good are read — skip the
+    # per-char box construction inside the UDF (late-round-1 rule:
+    # Catalyst prunes UDF outputs but not the Python that builds them)
+    out = recognition.recognize_given_boxes(boxes, pages,
+                                            emit_chars=False)
     return out.select(
         "media_ref", "line_idx", "text", "original_text_good",
         F.floor(F.col("confidence") * 1e6).alias("conf_u"))
@@ -2756,11 +2760,14 @@ def oracle_sql() -> dict[str, str]:
             nr AS (SELECT key, count(*) AS n_ref FROM refs GROUP BY key)
             SELECT key,
                    CAST(coalesce(cov_sum_u, 0)
-                        - (n_ref - least(n_pred, n_ref)) * 1000000
+                        - (coalesce(n_ref, 0)
+                           - least(coalesce(n_pred, 0), coalesce(n_ref, 0)))
+                          * 1000000
                         AS BIGINT) AS score_num_u,
-                   CAST(n_pred + n_ref - least(n_pred, n_ref)
+                   CAST(coalesce(n_pred, 0) + coalesce(n_ref, 0)
+                        - least(coalesce(n_pred, 0), coalesce(n_ref, 0))
                         AS BIGINT) AS denom
-            FROM np JOIN nr USING (key) LEFT JOIN m USING (key)
+            FROM np FULL JOIN nr USING (key) LEFT JOIN m USING (key)
         """,
         # union-find transitive merge as a reachability closure (UNION
         # dedup recursion); component id = dense rank of min seg_id, the

@@ -126,10 +126,13 @@ def main() -> None:
         pages = pipeline.pages_for(docs, blobs).persist()
         lines = (spark.read.parquet(args.out) if args.stage == "detect"
                  else det_op.detection_stage(pages))
-        overlays = debug_draw.debug_overlays(lines, pages)
+        # two actions (file write + count) — persist (rule 2) so the
+        # detect+draw+encode lineage runs once
+        overlays = debug_draw.debug_overlays(lines, pages).persist()
         debug_draw.write_pngs(overlays, args.debug_images)
         n_png = overlays.count()
         print(f"debug overlays: {n_png} pages -> {args.debug_images}")
+        overlays.unpersist()
         pages.unpersist()
 
     if args.render_html:
@@ -146,10 +149,13 @@ def main() -> None:
                                "x1", "y1", "x2", "y2", "polygon"),
                 pages),
             emit_chars=False)
-        rendered = rh.html_render_pages(ocr, pages)
+        # two actions (file write + count) — persist (rule 2) so the
+        # detect+slice+recognize+render lineage runs once
+        rendered = rh.html_render_pages(ocr, pages).persist()
         rh.write_html(rendered, args.render_html)
         print(f"html render: {rendered.count()} pages "
               f"-> {args.render_html}")
+        rendered.unpersist()
         pages.unpersist()
     spark.stop()
 

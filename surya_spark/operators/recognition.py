@@ -27,6 +27,7 @@ from pyspark.sql import types as T
 
 from .. import schemas
 from ..datagen import decode_page
+from ..plans import caching
 from . import slots
 
 _CROPS = T.StructType([
@@ -488,7 +489,8 @@ def recognize(crops: DataFrame,
 
 def recognize_given_boxes(boxes: DataFrame, pages: DataFrame,
                           slot: Callable = slots.surrogate_recognize,
-                          task: str = "ocr_with_boxes") -> DataFrame:
+                          task: str = "ocr_with_boxes",
+                          emit_chars: bool = True) -> DataFrame:
     """The parity-critical library mode: caller supplies line bboxes and
     skips detection (/root/reference/surya/recognition/__init__.py:773-942
     with bboxes=; used by the recognition benchmark and LaTeX OCR).
@@ -512,7 +514,7 @@ def recognize_given_boxes(boxes: DataFrame, pages: DataFrame,
         if opt in boxes.columns:
             cols.append(opt)
     crops = slice_crops(boxes.select(*cols), pages)
-    return recognize(crops, slot, task)
+    return recognize(crops, slot, task, emit_chars=emit_chars)
 
 
 def recognize_blocks(pages: DataFrame,
@@ -618,7 +620,10 @@ def attach_words(ocr_lines: DataFrame) -> DataFrame:
     with no chars (emit_chars=False upstream, or whitespace-only) get an
     empty array. One media_ref-keyed shuffle for the group + join; the
     words side derives from the corpus, so shuffle_hash, never a driver
-    broadcast."""
+    broadcast. ocr_lines feeds BOTH the words aggregate and the probe
+    side of the join (rule 2) — managed-persist it so the recognition
+    UDF lineage executes once, released at the first terminal action."""
+    ocr_lines = caching.managed(ocr_lines)
     words = assemble_words(ocr_lines)
     nested = words.groupBy("media_ref", "line_idx").agg(
         F.array_sort(

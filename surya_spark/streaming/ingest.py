@@ -97,6 +97,7 @@ def stream_incremental_dedup(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(docs_dir)
     )
+    state = {"layout_checked": False}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -122,6 +123,26 @@ def stream_incremental_dedup(
                 F.lit(True).alias("is_novel"))
         flagged = flagged.withColumn("batch_id", F.lit(int(batch_id)))
         flagged = flagged.persist()
+        # one-time migration guard: a stream resumed over an out_path
+        # seeded by a pre-partitioned (append-mode) layout would mix
+        # root-level part files with batch_id=N/ subdirs, and partition
+        # discovery fails for every downstream reader ("Conflicting
+        # directory structures detected"). Fail fast with the remedy
+        # instead of corrupting the directory.
+        if not state["layout_checked"]:
+            try:
+                existing = spark.read.parquet(out_path)
+                if "batch_id" not in existing.columns:
+                    raise RuntimeError(
+                        f"flags path {out_path} holds an unpartitioned "
+                        "(pre-batch_id) layout; writing batch_id=N/ "
+                        "partitions into it would break partition "
+                        "discovery. Migrate it first: read the old "
+                        "files, add batch_id, rewrite partitioned — "
+                        "or point out_path at a fresh directory.")
+            except AnalysisException:
+                pass  # empty/absent dir: fresh layout, nothing to check
+            state["layout_checked"] = True
         # idempotent under foreachBatch replay: dynamic partition
         # overwrite replaces exactly this batch's partition
         (flagged.write.mode("overwrite")

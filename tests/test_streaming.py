@@ -129,3 +129,38 @@ def test_stream_incremental_dedup(spark, tmp_path):
     idx_ids = {r["doc_id"]
                for r in spark.read.parquet(index_dir).collect()}
     assert idx_ids == {100, 1, 2, 4}
+
+
+def test_stream_dedup_rejects_unpartitioned_flags_dir(spark, tmp_path):
+    """Migration guard: resuming the flags sink over a directory seeded
+    with an UNPARTITIONED layout (pre-batch_id files at the root) must
+    fail fast — writing batch_id=N/ subdirs next to root part files
+    breaks partition discovery for every downstream reader."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    docs_dir = str(tmp_path / "incoming")
+    out_dir = str(tmp_path / "flags")
+
+    def docs_df(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", "crawl", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long")
+
+    # legacy layout: flag rows without batch_id, written flat
+    spark.createDataFrame(
+        [(9, 0.0, True)], "doc_id long, max_est double, is_novel boolean"
+    ).write.parquet(out_dir)
+    docs_df([(1, "some fresh crawl text")]).coalesce(1) \
+        .write.mode("append").parquet(docs_dir)
+
+    q = ingest.stream_incremental_dedup(
+        spark, docs_dir, str(tmp_path / "index"), out_dir,
+        str(tmp_path / "ckpt"))
+    try:
+        q.awaitTermination(120)
+        assert q.exception() is not None
+        msg = str(q.exception())
+    except StreamingQueryException as e:  # surfaced directly
+        msg = str(e)
+    assert "unpartitioned" in msg
