@@ -74,6 +74,29 @@ def relabel_headers_footers(regions: DataFrame) -> DataFrame:
     )
 
 
+def relabel_header_footer_record(label: str, y1: float, y2: float,
+                                 page_height: float, top_k: dict) -> str:
+    """Per-record replica of relabel_headers_footers for the fused page
+    pass (tables.fused_table_crops): PageHeader/PageFooter centered in
+    the middle 60% of the page takes its second-best top_k label. The
+    relational form sorts map entries by value desc with a STABLE sort
+    and takes entry 0 — equivalent to a first-strict-max scan in map
+    (= dict insertion) order, replicated here so equal-probability
+    alternates resolve identically on both paths."""
+    if label not in ("PageHeader", "PageFooter"):
+        return label
+    cy = (y1 + y2) / 2.0
+    if not (cy > page_height * 0.2 and cy < page_height * 0.8):
+        return label
+    best_k, best_v = None, None
+    for k, v in top_k.items():
+        if k == label:
+            continue
+        if best_v is None or v > best_v:
+            best_k, best_v = k, v
+    return best_k if best_k is not None else label
+
+
 def position_regions(regions: DataFrame) -> DataFrame:
     """Reading-order position pinned to explicit keys: model emit order,
     tie-broken by geometry (/root/reference/surya/layout/__init__.py:196-209)."""
@@ -115,6 +138,56 @@ _TILED_OUT = T.StructType(
 )
 
 
+def page_tile_plan(w: int, h: int, slice_min: int = 1500,
+                   slice_size: int = 1200,
+                   max_slices: int = 4) -> tuple[bool, int, int]:
+    """Tile geometry shared by the relational splitter and the fused
+    page pass (tables.fused_table_crops): split along the longer axis
+    when either dimension exceeds slice_min, step sized so at most
+    max_slices tiles result (ref surya/layout/slicer.py:19-38,
+    settings.py:101-105). Returns (along_h, step, n_tiles)."""
+    import math
+
+    along_h = h >= w
+    dim = h if along_h else w
+    if max(w, h) > slice_min:
+        step = max(slice_size, dim // max_slices + 1)
+    else:
+        step = dim  # single tile
+    return along_h, step, max(1, math.ceil(dim / step))
+
+
+def tile_sub_blob(desc: dict, w: int, h: int, along_h: bool,
+                  o: int, t_end: int) -> tuple[int, int, bytes]:
+    """One tile's sub-page blob: regions clipped to [o, t_end) along the
+    split axis and shifted into tile coordinates — what a per-tile model
+    would see (ref surya/layout/slicer.py:39-66). Returns
+    (tile_w, tile_h, blob)."""
+    import json
+    import zlib
+
+    from ..datagen import MAGIC
+
+    tw = w if along_h else (t_end - o)
+    th = (t_end - o) if along_h else h
+    sub_regions = []
+    for r in desc.get("regions", []):
+        x1, y1, x2, y2 = (float(v) for v in r["bbox"])
+        lo, hi = (y1, y2) if along_h else (x1, x2)
+        c_lo, c_hi = max(lo, o), min(hi, t_end)
+        if c_hi <= c_lo:
+            continue  # no intersection with this tile
+        if along_h:
+            bb = [x1, c_lo - o, x2, c_hi - o]
+        else:
+            bb = [c_lo - o, y1, c_hi - o, y2]
+        sub_regions.append({**r, "bbox": bb})
+    sub = {"w": tw, "h": th, "regions": sub_regions,
+           "lines": [], "table": None}
+    return tw, th, MAGIC + zlib.compress(
+        json.dumps(sub, sort_keys=True).encode())
+
+
 def split_layout_regions(pages: DataFrame,
                          slot: Callable = slots.surrogate_layout,
                          slice_min: int = 1500,
@@ -131,11 +204,7 @@ def split_layout_regions(pages: DataFrame,
 
     Regions intersecting a tile appear clipped to it (what a per-tile
     model would emit); merge_tile_regions reunites the parts."""
-    import json
-    import math
-    import zlib
-
-    from ..datagen import MAGIC, decode_page
+    from ..datagen import decode_page
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -144,14 +213,9 @@ def split_layout_regions(pages: DataFrame,
                 pdf["media_ref"], pdf["width"], pdf["height"], pdf["img_bytes"]
             ):
                 w, h = int(w), int(h)
-                desc = decode_page(bytes(blob))
-                along_h = h >= w
+                along_h, step, n_tiles = page_tile_plan(
+                    w, h, slice_min, slice_size, max_slices)
                 dim = h if along_h else w
-                if max(w, h) > slice_min:
-                    step = max(slice_size, dim // max_slices + 1)
-                else:
-                    step = dim  # single tile
-                n_tiles = max(1, math.ceil(dim / step))
                 if n_tiles == 1:
                     # fast path: no re-encode — the slot sees the original
                     # blob, so small pages cost exactly what layout_regions
@@ -165,27 +229,12 @@ def split_layout_regions(pages: DataFrame,
                             "merge_dir": "height" if along_h else "width",
                         })
                     continue
+                desc = decode_page(bytes(blob))
                 for ti in range(n_tiles):
                     o = ti * step
                     t_end = min(o + step, dim)
-                    tw = w if along_h else (t_end - o)
-                    th = (t_end - o) if along_h else h
-                    sub_regions = []
-                    for r in desc.get("regions", []):
-                        x1, y1, x2, y2 = (float(v) for v in r["bbox"])
-                        lo, hi = (y1, y2) if along_h else (x1, x2)
-                        c_lo, c_hi = max(lo, o), min(hi, t_end)
-                        if c_hi <= c_lo:
-                            continue  # no intersection with this tile
-                        if along_h:
-                            bb = [x1, c_lo - o, x2, c_hi - o]
-                        else:
-                            bb = [c_lo - o, y1, c_hi - o, y2]
-                        sub_regions.append({**r, "bbox": bb})
-                    sub = {"w": tw, "h": th, "regions": sub_regions,
-                           "lines": [], "table": None}
-                    sub_blob = MAGIC + zlib.compress(
-                        json.dumps(sub, sort_keys=True).encode())
+                    tw, th, sub_blob = tile_sub_blob(
+                        desc, w, h, along_h, o, t_end)
                     dx, dy = (0, o) if along_h else (o, 0)
                     for d in slot(f"{ref}#t{ti}", tw, th, sub_blob):
                         rows.append({
@@ -200,6 +249,51 @@ def split_layout_regions(pages: DataFrame,
                 {f.name: pd.Series([], dtype=object) for f in _TILED_OUT})
 
     return pages.mapInPandas(run, schema=_TILED_OUT)
+
+
+def try_merge_tile_region(box1: dict, rec: dict, along_h: bool,
+                          merge_tolerance: float = 0.05,
+                          merge_margin: float = 0.05) -> bool:
+    """The slicer merge rule for ONE (kept, candidate) pair
+    (/root/reference/surya/layout/slicer.py:68-140): margin-expanded
+    along-axis overlap area vs either box's area, more-than-half
+    cross-axis overlap, matching labels (Picture/Figure interchangeable).
+    On success box1 grows to the bbox union IN PLACE and True returns.
+    Shared by the relational merge_tile_regions and the fused page-grain
+    pass (tables.fused_table_crops) so the two paths cannot drift."""
+    w1, h1 = box1["x2"] - box1["x1"], box1["y2"] - box1["y1"]
+    w2, h2 = rec["x2"] - rec["x1"], rec["y2"] - rec["y1"]
+    if along_h:
+        m = int(min(h1, h2) * merge_margin)
+        ov = (min(box1["y2"] + m, rec["y2"] + m)
+              - max(box1["y1"] - m, rec["y1"] - m))
+        inter = max(0.0, ov) * max(
+            0.0, min(box1["x2"], rec["x2"]) - max(box1["x1"], rec["x1"]))
+        cross = max(0.0, min(box1["x2"], rec["x2"])
+                    - max(box1["x1"], rec["x1"]))
+        half = cross > w1 // 2 or cross > w2 // 2
+    else:
+        m = int(min(w1, w2) * merge_margin)
+        ov = (min(box1["x2"] + m, rec["x2"] + m)
+              - max(box1["x1"] - m, rec["x1"] - m))
+        inter = max(0.0, ov) * max(
+            0.0, min(box1["y2"], rec["y2"]) - max(box1["y1"], rec["y1"]))
+        cross = max(0.0, min(box1["y2"], rec["y2"])
+                    - max(box1["y1"], rec["y1"]))
+        half = cross > h1 // 2 or cross > h2 // 2
+    a1, a2 = w1 * h1, w2 * h2
+    pct = max(inter / a1 if a1 > 0 else 0.0,
+              inter / a2 if a2 > 0 else 0.0)
+    pics = {"Picture", "Figure"}
+    lbl = (box1["label"] == rec["label"]
+           or (box1["label"] in pics and rec["label"] in pics))
+    if pct > merge_tolerance and half and lbl:
+        box1["x1"] = min(box1["x1"], rec["x1"])
+        box1["y1"] = min(box1["y1"], rec["y1"])
+        box1["x2"] = max(box1["x2"], rec["x2"])
+        box1["y2"] = max(box1["y2"], rec["y2"])
+        return True
+    return False
 
 
 def merge_tile_regions(tiled: DataFrame,
@@ -223,39 +317,8 @@ def merge_tile_regions(tiled: DataFrame,
             if rec["tile_idx"] > 0:
                 along_h = rec["merge_dir"] == "height"
                 for box1 in kept:
-                    w1, h1 = box1["x2"] - box1["x1"], box1["y2"] - box1["y1"]
-                    w2, h2 = rec["x2"] - rec["x1"], rec["y2"] - rec["y1"]
-                    if along_h:
-                        m = int(min(h1, h2) * merge_margin)
-                        ov = (min(box1["y2"] + m, rec["y2"] + m)
-                              - max(box1["y1"] - m, rec["y1"] - m))
-                        inter = max(0.0, ov) * max(
-                            0.0, min(box1["x2"], rec["x2"])
-                            - max(box1["x1"], rec["x1"]))
-                        cross = max(0.0, min(box1["x2"], rec["x2"])
-                                    - max(box1["x1"], rec["x1"]))
-                        half = cross > w1 // 2 or cross > w2 // 2
-                    else:
-                        m = int(min(w1, w2) * merge_margin)
-                        ov = (min(box1["x2"] + m, rec["x2"] + m)
-                              - max(box1["x1"] - m, rec["x1"] - m))
-                        inter = max(0.0, ov) * max(
-                            0.0, min(box1["y2"], rec["y2"])
-                            - max(box1["y1"], rec["y1"]))
-                        cross = max(0.0, min(box1["y2"], rec["y2"])
-                                    - max(box1["y1"], rec["y1"]))
-                        half = cross > h1 // 2 or cross > h2 // 2
-                    a1, a2 = w1 * h1, w2 * h2
-                    pct = max(inter / a1 if a1 > 0 else 0.0,
-                              inter / a2 if a2 > 0 else 0.0)
-                    pics = {"Picture", "Figure"}
-                    lbl = (box1["label"] == rec["label"]
-                           or (box1["label"] in pics and rec["label"] in pics))
-                    if pct > merge_tolerance and half and lbl:
-                        box1["x1"] = min(box1["x1"], rec["x1"])
-                        box1["y1"] = min(box1["y1"], rec["y1"])
-                        box1["x2"] = max(box1["x2"], rec["x2"])
-                        box1["y2"] = max(box1["y2"], rec["y2"])
+                    if try_merge_tile_region(box1, rec, along_h,
+                                             merge_tolerance, merge_margin):
                         merged = True
                         break
             if not merged:

@@ -87,6 +87,115 @@ def table_crops(regions: DataFrame, pages: DataFrame,
     return joined.mapInPandas(run, schema=_TABLE_CROPS)
 
 
+def fused_table_crops(pages: DataFrame,
+                      layout_slot: Callable = slots.surrogate_layout,
+                      slice_min: int = 1500,
+                      slice_size: int = 1200,
+                      max_slices: int = 4,
+                      expand_pct: float = 0.01,
+                      merge_tolerance: float = 0.05,
+                      merge_margin: float = 0.05) -> DataFrame:
+    """One page-grain pass for the flagship's layout→table-crop chain:
+    layout slot (tiled per layout.page_tile_plan for oversize pages) →
+    cross-tile merge → header/footer relabel → Table filter → ordered
+    table_idx → inline crop encode, emitting the same rows
+    table_crops(layout_stage_tiled(pages), pages) produces — without
+    materializing the region table.
+
+    Why: mapInPandas erases partitioning info, so the relational chain
+    pays a stitch join, a merge applyInPandas shuffle, a position
+    window, a table_idx window, and a collect_list+join back onto pages
+    — all page-local computations (round-3 lesson: per-page work
+    belongs inside the page-grain UDF). Every rule is a shared helper
+    (layout.page_tile_plan / tile_sub_blob / try_merge_tile_region /
+    relabel_header_footer_record) so the two paths cannot drift; crops
+    are pytest-pinned byte-identical against the relational path.
+
+    The relational operators remain the library surface for callers
+    that need the intermediate region table (layout-only queries,
+    checkpointed stage grain, debug overlays).
+
+    Scale: one pass over the pre-partitioned pages, zero exchanges;
+    per-page work is bounded (≤4 tiles × ≤100 regions)."""
+    from . import layout as L
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, w, h, blob in zip(
+                pdf["media_ref"], pdf["width"], pdf["height"],
+                pdf["img_bytes"],
+            ):
+                w, h = int(w), int(h)
+                blob = bytes(blob)
+                desc = None
+                if w <= slice_min and h <= slice_min:
+                    kept = list(layout_slot(ref, w, h, blob))
+                else:
+                    along_h, step, n_tiles = L.page_tile_plan(
+                        w, h, slice_min, slice_size, max_slices)
+                    dim = h if along_h else w
+                    desc = decode_page(blob)
+                    recs = []
+                    for ti in range(n_tiles):
+                        o = ti * step
+                        t_end = min(o + step, dim)
+                        tw, th, sub_blob = L.tile_sub_blob(
+                            desc, w, h, along_h, o, t_end)
+                        dx, dy = (0, o) if along_h else (o, 0)
+                        tile_recs = [
+                            {**d,
+                             "x1": d["x1"] + dx, "y1": d["y1"] + dy,
+                             "x2": d["x2"] + dx, "y2": d["y2"] + dy,
+                             "tile_idx": ti}
+                            for d in layout_slot(f"{ref}#t{ti}", tw, th,
+                                                 sub_blob)
+                        ]
+                        # within a tile the merge order is the stitched
+                        # position = emit order (stable on ties, like the
+                        # relational mergesort)
+                        tile_recs.sort(key=lambda r: r["emit_idx"])
+                        recs.extend(tile_recs)
+                    kept = []
+                    for rec in recs:
+                        merged = False
+                        if rec["tile_idx"] > 0:
+                            for box1 in kept:
+                                if L.try_merge_tile_region(
+                                        box1, rec, along_h,
+                                        merge_tolerance, merge_margin):
+                                    merged = True
+                                    break
+                        if not merged:
+                            kept.append(rec)
+                tboxes = [
+                    r for r in kept
+                    if L.relabel_header_footer_record(
+                        r["label"], r["y1"], r["y2"], h, r["top_k"]
+                    ) in TABLE_LABELS
+                ]
+                if not tboxes:
+                    continue
+                tboxes.sort(key=lambda r: (r["y1"], r["x1"]))
+                if desc is None:
+                    desc = decode_page(blob)
+                for t_idx, b in enumerate(tboxes):
+                    dx = (b["x2"] - b["x1"]) * expand_pct
+                    dy = (b["y2"] - b["y1"]) * expand_pct
+                    bbox = [b["x1"] - dx, b["y1"] - dy,
+                            b["x2"] + dx, b["y2"] + dy]
+                    rows.append({
+                        "media_ref": ref, "table_idx": t_idx,
+                        "x1": bbox[0], "y1": bbox[1],
+                        "x2": bbox[2], "y2": bbox[3],
+                        "crop_bytes": slots.encode_table_crop(desc, bbox),
+                    })
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {f.name: pd.Series([], dtype=object) for f in _TABLE_CROPS})
+
+    return pages.mapInPandas(run, schema=_TABLE_CROPS)
+
+
 def table_items(crops: DataFrame,
                 slot: Callable = slots.surrogate_table) -> DataFrame:
     """Table crops → row/col items (emit order = item_id), shifted back to
@@ -240,7 +349,13 @@ def assign_cell_text(cells: DataFrame, ocr_lines: DataFrame) -> DataFrame:
 def table_stage(regions: DataFrame, pages: DataFrame,
                 ocr_lines: DataFrame,
                 slot: Callable = slots.surrogate_table) -> DataFrame:
-    crops = table_crops(regions, pages)
+    return table_stage_from_crops(table_crops(regions, pages),
+                                  ocr_lines, slot)
+
+
+def table_stage_from_crops(crops: DataFrame, ocr_lines: DataFrame,
+                           slot: Callable = slots.surrogate_table
+                           ) -> DataFrame:
     # items feeds TWO consumers (cell_grid and the spanning-cell pass) and
     # its lineage contains the whole layout stage — unpersisted, Spark
     # re-executes layout per branch (cheap in round 1's single-UDF layout,

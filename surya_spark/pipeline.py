@@ -148,13 +148,17 @@ def extract(
 
         cells = None
         if with_tables:
-            # tiled variant: >1500 px pages run the layout slot per ≤4
-            # tiles (bounded activations), stitched+merged back
-            # relationally; small pages pass through as one tile at zero
-            # extra cost
-            regions = layout.layout_stage_tiled(pages, layout_slot)
-            cells = tables.table_stage(regions, pages, ocr_lines,
-                                       table_slot)
+            # layout→table-crop fused into ONE page-grain pass (same
+            # round-3 lesson as the detect chain above): the relational
+            # form pays a position window, tile stitch join + merge
+            # shuffle, a table_idx window, and a collect_list+join back
+            # onto pages — all page-local. Oversize pages still run the
+            # layout slot per ≤4 tiles (bounded activations) inside the
+            # pass; crops pytest-pinned byte-identical to
+            # table_crops(layout_stage_tiled(pages), pages).
+            crops_t = tables.fused_table_crops(pages, layout_slot)
+            cells = tables.table_stage_from_crops(crops_t, ocr_lines,
+                                                  table_slot)
 
         return caching.owned(
             assemble.assemble_spans(documents, ocr_lines, cells),
