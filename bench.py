@@ -79,8 +79,7 @@ def extract_stage_times(spark, docs, blobs, par: int) -> dict[str, float]:
     each number as a sample with BENCH.md's documented host-disk
     variance, and the min-of-reps end-to-end figure as the headline."""
     from surya_spark import pipeline as P
-    from surya_spark.operators import (assemble, layout, recognition,
-                                       tables)
+    from surya_spark.operators import assemble, recognition, tables
 
     st: dict[str, float] = {}
     cached = []
@@ -98,8 +97,11 @@ def extract_stage_times(spark, docs, blobs, par: int) -> dict[str, float]:
                  recognition.fused_page_crops(pages))
     ocr = step("recognize",
                recognition.recognize(crops, emit_chars=False))
-    regions = step("layout", layout.layout_stage_tiled(pages))
-    cells = step("table", tables.table_stage(regions, pages, ocr))
+    # mirrors pipeline.extract: the fused layout→table-crop pass, then
+    # the table slot + cell stage over the crops
+    crops_t = step("layout_table_crops",
+                   tables.fused_table_crops(pages))
+    cells = step("table", tables.table_stage_from_crops(crops_t, ocr))
     t0 = time.time()
     materialize(assemble.assemble_spans(docs, ocr, cells))
     st["assemble"] = round(time.time() - t0, 3)
