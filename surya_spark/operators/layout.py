@@ -296,6 +296,30 @@ def try_merge_tile_region(box1: dict, rec: dict, along_h: bool,
     return False
 
 
+def accumulate_tile_merges(recs: list, along_h: bool,
+                           merge_tolerance: float = 0.05,
+                           merge_margin: float = 0.05) -> list:
+    """Sequential first-match-wins merge accumulation over records in
+    stitched order (tile_idx, then within-tile position): tile 0's boxes
+    are accumulated verbatim, later tiles' boxes merge into the first
+    kept box that satisfies try_merge_tile_region or are appended.
+    Shared by merge_tile_regions and tables.fused_table_crops — the
+    accumulation rule itself, like the pairwise merge rule, must be a
+    single implementation so the two paths cannot drift."""
+    kept: list = []
+    for rec in recs:
+        merged = False
+        if rec["tile_idx"] > 0:
+            for box1 in kept:
+                if try_merge_tile_region(box1, rec, along_h,
+                                         merge_tolerance, merge_margin):
+                    merged = True
+                    break
+        if not merged:
+            kept.append(rec)
+    return kept
+
+
 def merge_tile_regions(tiled: DataFrame,
                        merge_tolerance: float = 0.05,
                        merge_margin: float = 0.05) -> DataFrame:
@@ -311,18 +335,10 @@ def merge_tile_regions(tiled: DataFrame,
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["tile_idx", "position"], kind="mergesort")
-        kept: list[dict] = []
-        for rec in pdf.to_dict("records"):
-            merged = False
-            if rec["tile_idx"] > 0:
-                along_h = rec["merge_dir"] == "height"
-                for box1 in kept:
-                    if try_merge_tile_region(box1, rec, along_h,
-                                             merge_tolerance, merge_margin):
-                        merged = True
-                        break
-            if not merged:
-                kept.append(rec)
+        # merge_dir is a per-page constant (set by the splitter)
+        along_h = pdf["merge_dir"].iloc[0] == "height"
+        kept = accumulate_tile_merges(pdf.to_dict("records"), along_h,
+                                      merge_tolerance, merge_margin)
         for rec in kept:
             rec.pop("tile_idx", None)
             rec.pop("merge_dir", None)

@@ -156,18 +156,8 @@ def fused_table_crops(pages: DataFrame,
                         # relational mergesort)
                         tile_recs.sort(key=lambda r: r["emit_idx"])
                         recs.extend(tile_recs)
-                    kept = []
-                    for rec in recs:
-                        merged = False
-                        if rec["tile_idx"] > 0:
-                            for box1 in kept:
-                                if L.try_merge_tile_region(
-                                        box1, rec, along_h,
-                                        merge_tolerance, merge_margin):
-                                    merged = True
-                                    break
-                        if not merged:
-                            kept.append(rec)
+                    kept = L.accumulate_tile_merges(
+                        recs, along_h, merge_tolerance, merge_margin)
                 tboxes = [
                     r for r in kept
                     if L.relabel_header_footer_record(

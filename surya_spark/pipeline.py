@@ -3,10 +3,15 @@
 The flagship dataflow (SURVEY.md §7.2), all DataFrame ops:
 
     explode spans ─► media spans ⋈ page_blobs ─► pages
-    pages ─► detect slot ─► clean anti-join ─► expand/normalize ─► order
-    ordered lines ⋈ pages ─► crops ─► recognize slot ─► ocr_lines
-    pages ─► layout slot ─► regions ─► table crops ─► table slot ─► cells
+    pages ─► fused page pass (detect slot → clean/expand → order →
+             slice crops) ─► recognize slot ─► ocr_lines
+    pages ─► fused table pass (layout slot [tiled] → merge → relabel →
+             table crops) ─► table slot ─► cells
     ocr_lines ∪ cells ∪ passthrough spans ─► assemble ─► out_spans
+
+(The per-step relational operators — detect/clean/order/slice, layout
+regions/stitch/merge, table_crops — remain the library surface and are
+pytest-pinned byte-identical to the fused passes.)
 
 Skew note: all heavy stages are keyed by media_ref (page grain), so an
 image-heavy document's pages spread across executors automatically — the
@@ -81,8 +86,9 @@ def extract(
 ) -> DataFrame:
     """persist=True pins the two fan-out points of the DAG:
 
-      * pages feeds FOUR consumers (detect, slice join, layout, table
-        crops) — unpersisted, Spark re-executes the scan+join per branch;
+      * pages feeds TWO consumers (the fused detect→order→slice pass
+        and the fused layout→table-crop pass) — unpersisted, Spark
+        re-executes the scan+join+blob shuffle per branch;
       * ocr_lines feeds TWO (cell-text assignment and free-line assembly).
 
     Measured on 2000 docs/32 cores: unpersisted plan re-ran the full
@@ -90,9 +96,10 @@ def extract(
     checkpointed_extract gets the same reuse from stage materialization."""
     spark = documents.sparkSession
     # align the pages partition count with spark.sql.shuffle.partitions:
-    # every downstream media_ref stage (reading-order window, slice join,
-    # layout, table crops) shuffles at that count, so a matching count
-    # lets EnsureRequirements reuse the pages placement instead of
+    # downstream media_ref shuffles (the recognize crop join; in the
+    # relational library path also the order window / slice join /
+    # layout stitch) run at that count, so a matching count lets
+    # EnsureRequirements reuse the pages placement instead of
     # re-shuffling the blob bytes to reconcile partitioning (measured:
     # mismatched counts re-shuffled the big side at the slice join)
     # shuffle.partitions may be non-numeric on AQE-coalesce platforms
