@@ -215,6 +215,129 @@ def table_items(crops: DataFrame,
     return crops.mapInPandas(run, schema=schemas.TABLE_ITEMS)
 
 
+_TABLE_CELLS = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("table_idx", T.IntegerType(), False),
+    T.StructField("row_id", T.IntegerType(), False),
+    T.StructField("col_id", T.IntegerType(), False),
+    T.StructField("is_header", T.BooleanType(), False),
+    T.StructField("x1", T.DoubleType(), False),
+    T.StructField("y1", T.DoubleType(), False),
+    T.StructField("x2", T.DoubleType(), False),
+    T.StructField("y2", T.DoubleType(), False),
+    T.StructField("colspan", T.IntegerType(), True),
+    T.StructField("rowspan", T.IntegerType(), True),
+])
+
+
+def cells_for_table(items: list, min_cover: float = 0.9) -> list:
+    """Per-table twin of cell_grid + apply_spanning_cells, as a plain
+    list-of-dicts kernel: grid = rows × cols (cell bbox = row ∩ col),
+    then grid cells covered ≥min_cover by a spanning cell collapse to
+    the span's min-(row,col) anchor with the span bbox + col/rowspan
+    (/root/reference/surya/table_rec/__init__.py:304-344,313-327).
+
+    Same join semantics as the relational form, including the edge
+    cases: a cell matched by several spans emits one row per span it
+    anchors, and every coverage fraction is the identical IEEE
+    expression (overlap product / cell area) the SQL path evaluates —
+    the parity pytest pins the two paths equal on the same fixtures."""
+    rows_i = [it for it in items if it["item_kind"] == "row"]
+    cols_i = [it for it in items if it["item_kind"] == "col"]
+    spans = [it for it in items if it["item_kind"] == "spanning_cell"]
+    grid = []
+    for r in rows_i:
+        for c in cols_i:
+            grid.append({
+                "row_id": r["item_id"], "col_id": c["item_id"],
+                "is_header": r["is_header"],
+                "x1": max(r["x1"], c["x1"]), "y1": r["y1"],
+                "x2": min(r["x2"], c["x2"]), "y2": r["y2"],
+            })
+    matches = []  # (grid idx, span idx) with coverage ≥ min_cover
+    for gi, g in enumerate(grid):
+        a = (g["x2"] - g["x1"]) * (g["y2"] - g["y1"])
+        if a <= 0:
+            continue
+        for si, s in enumerate(spans):
+            ix = max(0.0, min(g["x2"], s["x2"]) - max(g["x1"], s["x1"]))
+            iy = max(0.0, min(g["y2"], s["y2"]) - max(g["y1"], s["y1"]))
+            if ix * iy / a >= min_cover:
+                matches.append((gi, si))
+    anchor: dict = {}
+    for gi, si in matches:
+        key = (grid[gi]["row_id"], grid[gi]["col_id"])
+        if si not in anchor or key < anchor[si]:
+            anchor[si] = key
+    covered = {gi for gi, _ in matches}
+    out = [{**g, "colspan": 1, "rowspan": 1}
+           for gi, g in enumerate(grid) if gi not in covered]
+    for gi, si in matches:
+        g = grid[gi]
+        if (g["row_id"], g["col_id"]) != anchor[si]:
+            continue
+        s = spans[si]
+        out.append({
+            "row_id": g["row_id"], "col_id": g["col_id"],
+            "is_header": g["is_header"],
+            "x1": s["x1"], "y1": s["y1"], "x2": s["x2"], "y2": s["y2"],
+            "colspan": None if s["colspan"] is None else int(s["colspan"]),
+            "rowspan": None if s["rowspan"] is None else int(s["rowspan"]),
+        })
+    return out
+
+
+def fused_table_cells(crops: DataFrame,
+                      slot: Callable = slots.surrogate_table,
+                      min_cover: float = 0.9) -> DataFrame:
+    """One table-grain pass for the flagship's slot→grid→spanning chain:
+    table slot → page-coordinate shift → cell grid → spanning-cell
+    override, emitting the same rows as
+    apply_spanning_cells(cell_grid(table_items(crops)), table_items(crops)).
+
+    Why: every step after the slot is local to one (media_ref,
+    table_idx) — and each crops row IS one table — so the relational
+    chain's rows×cols shuffle-hash join, the coverage theta join, and
+    the anchor window (plus the items persist that double consumption
+    forces) are pure overhead (round-3 lesson; same shape as
+    fused_page_crops / fused_table_crops). The rule lives in
+    cells_for_table, pinned equal to the relational path by pytest.
+
+    The relational operators (table_items / cell_grid /
+    apply_spanning_cells) remain the library surface for callers that
+    need the item table itself.
+
+    Scale: one pass over the crops, zero exchanges; per-table work is
+    bounded (≤150 items per the reference decoder)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, ti, x1, y1, blob in zip(
+                pdf["media_ref"], pdf["table_idx"], pdf["x1"], pdf["y1"],
+                pdf["crop_bytes"],
+            ):
+                items = [
+                    {
+                        "item_kind": it["item_kind"],
+                        "item_id": int(it["item_id"]),
+                        "x1": it["x1"] + x1, "y1": it["y1"] + y1,
+                        "x2": it["x2"] + x1, "y2": it["y2"] + y1,
+                        "is_header": bool(it["is_header"]),
+                        "colspan": it["colspan"],
+                        "rowspan": it.get("rowspan"),
+                    }
+                    for it in slot(bytes(blob))
+                ]
+                for cell in cells_for_table(items, min_cover):
+                    rows.append({"media_ref": ref, "table_idx": int(ti),
+                                 **cell})
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {f.name: pd.Series([], dtype=object) for f in _TABLE_CELLS})
+
+    return crops.mapInPandas(run, schema=_TABLE_CELLS)
+
+
 def cell_grid(items: DataFrame) -> DataFrame:
     """cells = rows × cols within a table; cell bbox = row ∩ col
     (/root/reference/surya/table_rec/__init__.py:304-344). The cross join
@@ -344,15 +467,20 @@ def table_stage(regions: DataFrame, pages: DataFrame,
 
 
 def table_stage_from_crops(crops: DataFrame, ocr_lines: DataFrame,
-                           slot: Callable = slots.surrogate_table
-                           ) -> DataFrame:
-    # items feeds TWO consumers (cell_grid and the spanning-cell pass) and
-    # its lineage contains the whole layout stage — unpersisted, Spark
-    # re-executes layout per branch (cheap in round 1's single-UDF layout,
-    # 2x the tiled stitch/merge machinery now; measured 31 s → 14 s at
-    # 4000 docs when pinned). caching.scope: inside pipeline.extract the
-    # handle bubbles to extract's scope; standalone, the returned cells
-    # release it on their first action.
+                           slot: Callable = slots.surrogate_table,
+                           fused: bool = True) -> DataFrame:
+    """fused=True (the shipped pipeline) runs slot→grid→spanning in one
+    table-grain pass (fused_table_cells); only the cell-text assignment
+    join remains relational — it genuinely joins a second table
+    (ocr_lines). fused=False keeps the relational chain, where items
+    feeds TWO consumers (cell_grid and the spanning-cell pass) and its
+    lineage contains the whole layout stage — unpersisted, Spark
+    re-executes layout per branch (measured 31 s → 14 s at 4000 docs
+    when pinned). caching.scope: inside pipeline.extract the handle
+    bubbles to extract's scope; standalone, the returned cells release
+    it on their first action."""
+    if fused:
+        return assign_cell_text(fused_table_cells(crops, slot), ocr_lines)
     with caching.scope() as (handles, is_owner):
         items = caching.managed(table_items(crops, slot))
         cells = apply_spanning_cells(cell_grid(items), items)
