@@ -6,7 +6,8 @@ The flagship dataflow (SURVEY.md §7.2), all DataFrame ops:
     pages ─► fused page pass (detect slot → clean/expand → order →
              slice crops) ─► recognize slot ─► ocr_lines
     pages ─► fused table pass (layout slot [tiled] → merge → relabel →
-             table crops) ─► table slot ─► cells
+             table crops) ─► fused cell pass (table slot → grid →
+             spanning override) ⋈ ocr_lines ─► cells
     ocr_lines ∪ cells ∪ passthrough spans ─► assemble ─► out_spans
 
 (The per-step relational operators — detect/clean/order/slice, layout
