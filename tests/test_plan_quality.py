@@ -124,6 +124,15 @@ def test_extract_blob_bytes_shuffle_once(spark):
         if "Exchange" in ln and "img_bytes" in ln
     ]
     assert blob_exchanges == [], blob_exchanges
+    # the round-5 fusions' property: crop blobs flow UDF→UDF (detect→
+    # order→slice→recognize, layout→table-crop→cell pass) and never
+    # cross an exchange either — only small span/cell rows shuffle
+    # downstream of the pages persist
+    crop_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "crop_bytes" in ln
+    ]
+    assert crop_exchanges == [], crop_exchanges
 
 
 def test_debug_and_render_sinks_no_driver_broadcasts(spark):
