@@ -15,6 +15,7 @@ lines into cell bboxes (center-containment) + an ordered group-concat.
 
 from __future__ import annotations
 
+import math
 from typing import Callable, Iterator
 
 import pandas as pd
@@ -186,6 +187,33 @@ def fused_table_crops(pages: DataFrame,
     return pages.mapInPandas(run, schema=_TABLE_CROPS)
 
 
+def normalize_table_item(item: dict, dx, dy) -> dict:
+    """The slot-output → item-row rule (page-coordinate shift by the crop
+    origin, type casts, tail-first-optional rowspan). ONE implementation
+    shared by table_items and fused_table_cells so the relational and
+    fused paths cannot drift (the repo's fusion-parity convention).
+
+    Rejects non-finite coordinates: Python NaN comparisons (False) and
+    Spark NaN ordering (greater than everything) disagree, so a NaN
+    that reached the coverage predicate would make the fused and
+    relational spanning overrides silently diverge — fail loudly at
+    the shared boundary instead."""
+    x1, y1 = item["x1"] + dx, item["y1"] + dy
+    x2, y2 = item["x2"] + dx, item["y2"] + dy
+    if not (math.isfinite(x1) and math.isfinite(y1)
+            and math.isfinite(x2) and math.isfinite(y2)):
+        raise ValueError(
+            f"table slot emitted non-finite coordinates: {item!r}")
+    return {
+        "item_kind": item["item_kind"],
+        "item_id": int(item["item_id"]),
+        "x1": x1, "y1": y1, "x2": x2, "y2": y2,
+        "is_header": bool(item["is_header"]),
+        "colspan": item["colspan"],
+        "rowspan": item.get("rowspan"),
+    }
+
+
 def table_items(crops: DataFrame,
                 slot: Callable = slots.surrogate_table) -> DataFrame:
     """Table crops → row/col items (emit order = item_id), shifted back to
@@ -201,13 +229,7 @@ def table_items(crops: DataFrame,
                 for item in slot(bytes(blob)):
                     rows.append({
                         "media_ref": ref, "table_idx": int(ti),
-                        "item_kind": item["item_kind"],
-                        "item_id": int(item["item_id"]),
-                        "x1": item["x1"] + x1, "y1": item["y1"] + y1,
-                        "x2": item["x2"] + x1, "y2": item["y2"] + y1,
-                        "is_header": bool(item["is_header"]),
-                        "colspan": item["colspan"],
-                        "rowspan": item.get("rowspan"),
+                        **normalize_table_item(item, x1, y1),
                     })
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {f.name: pd.Series([], dtype=object) for f in schemas.TABLE_ITEMS})
@@ -241,7 +263,14 @@ def cells_for_table(items: list, min_cover: float = 0.9) -> list:
     cases: a cell matched by several spans emits one row per span it
     anchors, and every coverage fraction is the identical IEEE
     expression (overlap product / cell area) the SQL path evaluates —
-    the parity pytest pins the two paths equal on the same fixtures."""
+    the parity pytest pins the two paths equal on the same fixtures.
+
+    Contract: slot coordinates must be FINITE. On a NaN coordinate the
+    two paths would diverge — Python comparisons with NaN are False
+    (cell stays uncovered here) while Spark orders NaN greater than
+    every value (cover >= min_cover turns true relationally) — so
+    normalize_table_item, the shared ingest boundary of BOTH paths,
+    rejects non-finite coordinates before they reach the predicate."""
     rows_i = [it for it in items if it["item_kind"] == "row"]
     cols_i = [it for it in items if it["item_kind"] == "col"]
     spans = [it for it in items if it["item_kind"] == "spanning_cell"]
@@ -317,18 +346,8 @@ def fused_table_cells(crops: DataFrame,
                 pdf["media_ref"], pdf["table_idx"], pdf["x1"], pdf["y1"],
                 pdf["crop_bytes"],
             ):
-                items = [
-                    {
-                        "item_kind": it["item_kind"],
-                        "item_id": int(it["item_id"]),
-                        "x1": it["x1"] + x1, "y1": it["y1"] + y1,
-                        "x2": it["x2"] + x1, "y2": it["y2"] + y1,
-                        "is_header": bool(it["is_header"]),
-                        "colspan": it["colspan"],
-                        "rowspan": it.get("rowspan"),
-                    }
-                    for it in slot(bytes(blob))
-                ]
+                items = [normalize_table_item(it, x1, y1)
+                         for it in slot(bytes(blob))]
                 for cell in cells_for_table(items, min_cover):
                     rows.append({"media_ref": ref, "table_idx": int(ti),
                                  **cell})

@@ -87,6 +87,24 @@ def test_fused_table_cells_identical_to_relational(spark):
     assert f_schema == r_schema
 
 
+def test_normalize_table_item_rejects_non_finite():
+    """NaN coordinates would make the fused (Python NaN-compares-False)
+    and relational (Spark NaN-orders-greatest) spanning overrides
+    silently diverge — the shared ingest boundary fails loudly instead."""
+    import pytest
+
+    good = {"item_kind": "row", "item_id": 0, "x1": 1.0, "y1": 2.0,
+            "x2": 3.0, "y2": 4.0, "is_header": False,
+            "colspan": None, "rowspan": None}
+    out = tables.normalize_table_item(good, 10.0, 20.0)
+    assert (out["x1"], out["y1"], out["x2"], out["y2"]) == (
+        11.0, 22.0, 13.0, 24.0)
+    for bad_val in (float("nan"), float("inf")):
+        bad = dict(good, x2=bad_val)
+        with pytest.raises(ValueError, match="non-finite"):
+            tables.normalize_table_item(bad, 0.0, 0.0)
+
+
 def test_table_stage_fused_vs_relational_end_to_end(spark):
     """The stage wrapper (fused=True default vs fused=False) produces the
     same cell-text table on the generated corpus, merges included."""

@@ -20,6 +20,29 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _exchange_inputs(df) -> list[str]:
+    """The `Input [...]` column list of every Exchange node, from the
+    FORMATTED explain — the toString() form prints only partitioning
+    key expressions on Exchange lines, so grepping it for a carried
+    column name is vacuous (a blob column riding a media_ref-keyed
+    shuffle never appears there)."""
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    sections = re.split(r"\n\n", buf.getvalue())
+    out = []
+    for sec in sections:
+        lines = sec.strip().splitlines()
+        if lines and re.match(r"\(\d+\) Exchange", lines[0]):
+            out.append(next(
+                (ln for ln in lines if ln.startswith("Input")), ""))
+    return out
+
+
 def test_pricing_summary_pushdown(spark):
     plan = _plan(entry_mod.q_pricing_summary(spark, SF))
     assert "PushedFilters" in plan and "l_shipdate" in plan.split(
@@ -118,20 +141,19 @@ def test_extract_blob_bytes_shuffle_once(spark):
     docs = datagen.gen_documents(spark, 12, partitions=2)
     blobs = datagen.gen_page_blobs(spark, 12, partitions=2)
     out = pipeline.extract(docs, blobs, with_tables=True, persist=True)
-    plan = _plan(out)
-    blob_exchanges = [
-        ln for ln in plan.splitlines()
-        if "Exchange" in ln and "img_bytes" in ln
-    ]
-    assert blob_exchanges == [], blob_exchanges
+    inputs = _exchange_inputs(out)
+    assert inputs, "expected Exchange nodes in the extract plan"
+    # page blob bytes cross EXACTLY ONE exchange: the media_ref
+    # pre-partition of the pages semi-join input (executed once under
+    # the persist). A second img_bytes-carrying exchange means a lost
+    # hint or partition-count mismatch re-shuffled the big side.
+    blob_exchanges = [ln for ln in inputs if "img_bytes" in ln]
+    assert len(blob_exchanges) == 1, blob_exchanges
     # the round-5 fusions' property: crop blobs flow UDF→UDF (detect→
     # order→slice→recognize, layout→table-crop→cell pass) and never
-    # cross an exchange either — only small span/cell rows shuffle
-    # downstream of the pages persist
-    crop_exchanges = [
-        ln for ln in plan.splitlines()
-        if "Exchange" in ln and "crop_bytes" in ln
-    ]
+    # cross an exchange — only small span/cell rows shuffle downstream
+    # of the pages persist
+    crop_exchanges = [ln for ln in inputs if "crop_bytes" in ln]
     assert crop_exchanges == [], crop_exchanges
 
 
