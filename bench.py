@@ -55,7 +55,7 @@ HEADLINE = [
     "incremental_dedup",
     "heatmap_boxes",
     "poly_mask",
-    "cubic_resize",
+    "resize_kernels",
     "word_assembly",
     "spanning_cells",
     "fuzzy_overlap",
@@ -138,19 +138,25 @@ def main() -> None:
     spark.catalog.clearCache()
 
     reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
+    spreads: dict[str, list[float]] = {}
     for name in HEADLINE:
-        best = float("inf")
+        samples = []
         for _ in range(reps):
             t0 = time.time()
             materialize(qs[name](spark, sf_dir))
-            best = min(best, time.time() - t0)
+            samples.append(time.time() - t0)
             # operators persist intermediates (fan-out pinning); drop them
             # so the next run isn't taxed by cached RDDs (eviction + GC
             # inflated later queries by 2x before this) — this also keeps
             # repeat runs honest: identical logical plans would otherwise
             # resolve to InMemoryRelations and measure cache reads
             spark.catalog.clearCache()
-        times[name] = round(best, 3)
+        times[name] = round(min(samples), 3)
+        # min+max of the reps: a host-iowait-skewed artifact then
+        # self-describes (max >> min on untouched queries = bad window,
+        # not a plan regression — the round-5 artifact lacked this and
+        # cost a round of reconciliation)
+        spreads[name] = [round(min(samples), 3), round(max(samples), 3)]
 
     # flagship: end-to-end extraction, sf-scaled synthetic interleaved
     # table. The input is MATERIALIZED to parquet outside the timed region
@@ -163,13 +169,15 @@ def main() -> None:
     blobs = spark.read.parquet(f"{inp}/page_blobs.parquet")
     materialize(pipeline.extract(
         docs.limit(40), blobs, with_tables=True))  # warm same plan shape
-    best = float("inf")
+    samples = []
     for _ in range(reps):
         spark.catalog.clearCache()
         t0 = time.time()
         materialize(pipeline.extract(docs, blobs, with_tables=True))
-        best = min(best, time.time() - t0)
-    times["extract_pipeline"] = round(best, 3)
+        samples.append(time.time() - t0)
+    times["extract_pipeline"] = round(min(samples), 3)
+    spreads["extract_pipeline"] = [round(min(samples), 3),
+                                   round(max(samples), 3)]
 
     spark.catalog.clearCache()
     stages = extract_stage_times(spark, docs, blobs, par=cpus)
@@ -187,6 +195,7 @@ def main() -> None:
         "extract_stages": stages,
         "cpus": cpus,
         "reps": reps,
+        "query_spreads": spreads,
     }))
     spark.stop()
 

@@ -313,17 +313,65 @@ _SIMHASH_OUT = T.StructType([
 
 
 def simhash(docs: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document via an Arrow-vectorized pandas iterator —
-    the per-token ±1 bit voting is genuinely numpy territory. Near-dup pairs
-    = small Hamming distance; pair generation uses 4-segment blocking
-    (pigeonhole: dist ≤ 3 → at least one identical 16-bit segment).
+            id_col: str = "doc_id", bits: int = 64,
+            hash_mode: str = "xxhash64") -> DataFrame:
+    """64-bit SimHash per document. Near-dup pairs = small Hamming
+    distance; pair generation uses segment blocking (pigeonhole: dist ≤ 3
+    → at least one identical 16-bit segment), see simhash_pairs.
+
+    hash_mode='xxhash64' (default): the ENTIRE signature is JVM-side —
+    posexplode normalized tokens → xxhash64 per token → 64 CASE-vote sum
+    aggregates → sign pack, all whole-stage codegen, zero Python in the
+    path (round-6: this was the last per-item Python loop in the dedup
+    family; the token-hash kernel dominates signature cost at corpus
+    scale). One shuffle (the vote groupBy on doc_id).
+    hash_mode='md5': per-token md5 in an Arrow-batched numpy kernel,
+    replicable bit-for-bit by the DuckDB oracle (md5 → low 8 bytes
+    little-endian) — the correctness-gate mode. Same ±1 vote and
+    strict sign rule in both modes; empty/token-less docs sign to 0.
 
     Tokens come from the SAME normalize_text universe as
     shingle_id_rows/minhash (HTML/math stripped, bullets standardized,
     whitespace collapsed, lowercased) — one documented normalization for
-    every dedup operator. Normalization runs as JVM column expressions
-    BEFORE the Arrow boundary, so the Python kernel only splits."""
+    every dedup operator; normalization always runs as JVM column
+    expressions."""
+    if hash_mode == "xxhash64":
+        if bits != 64:
+            raise ValueError("xxhash64 mode emits 64-bit signatures")
+        norm = docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            TX.normalize_text(F.col(text_col)).alias("_t"))
+        # empty tokens (blank doc → split yields ['']) hash to NULL and
+        # vote 0 on every bit, so token-less docs still reach the groupBy
+        # and sign to 0 exactly like the md5 kernel — no second scan or
+        # re-join of the input needed
+        th = norm.select(
+            "doc_id",
+            F.explode(F.split(F.col("_t"), " ")).alias("tok"),
+        ).select(
+            "doc_id",
+            F.when(F.col("tok") != "", F.xxhash64("tok")).alias("th"),
+        )
+        # each vote/pack expression is ONE SQL string (late-round-1 rule:
+        # composing hundreds of Column objects through py4j is driver
+        # time; F.expr parses to the same plan with the same semantics)
+        votes = th.groupBy("doc_id").agg(*[
+            F.expr(
+                f"sum(CASE WHEN th IS NULL THEN 0 "
+                f"WHEN (shiftright(th, {k}) & 1) = 1 THEN 1 "
+                f"ELSE -1 END)"
+            ).alias(f"v{k}")
+            for k in range(bits)
+        ])
+        pack = " + ".join(
+            f"(CASE WHEN v{k} > 0 THEN shiftleft(CAST(1 AS BIGINT), {k}) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+            for k in range(bits)
+        )
+        return votes.select(
+            "doc_id", F.expr(pack).alias("simhash"))
+    if hash_mode != "md5":
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
 
     import hashlib
 

@@ -242,10 +242,20 @@ def train_centroids(vectors: DataFrame, k: int = 8,
 def cosine_near_dup(vectors: DataFrame, threshold: float = 0.95,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     block_col: str | None = None,
-                    dim: int | None = None) -> DataFrame:
+                    dim: int | None = None,
+                    allow_cross_join: bool = False) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold. With a block
     column (e.g. coarse cluster or label) the join is equi-keyed; without
-    one it degenerates to a cross join — only acceptable for small N."""
+    one the only possible plan is an O(n²) cross join, which silently
+    melting down at corpus scale is worse than an error — so blockless
+    calls RAISE unless allow_cross_join=True (small fixtures, tests).
+    For label-free near-dup at scale use embedding_lsh_pairs, which
+    replaces the block column with sign-bit LSH bucketing."""
+    if block_col is None and not allow_cross_join:
+        raise ValueError(
+            "cosine_near_dup without block_col is an O(n^2) cross join; "
+            "pass allow_cross_join=True for small inputs, or use "
+            "embedding_lsh_pairs for label-free near-dup at scale")
     withn = with_norm(vectors, vec_col, "_n", dim)
     a = withn.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),

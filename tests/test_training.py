@@ -51,6 +51,49 @@ def test_minhash_lsh_pairs(spark):
     assert (1, 4) not in pairs
 
 
+def test_simhash_jvm_signature_parity(spark):
+    """The all-JVM xxhash64 signature path (round 6) pinned against an
+    independently-evaluated expectation: token hashes come from Spark's
+    own xxhash64 (one tiny query), the ±1 vote + strict-sign pack is then
+    recomputed driver-side in numpy — any drift in the 64 CASE-vote
+    aggregates or the sign-pack expression is a hard mismatch. Also pins
+    the token-less-document rule (signature 0)."""
+    import numpy as np
+
+    from surya_spark.functions import text as TX
+
+    docs = _docs(spark).unionByName(
+        spark.createDataFrame(
+            pd.DataFrame([(7, "", "c"), (8, "   ", "c")],
+                         columns=["doc_id", "text", "source"])))
+    got = {r["doc_id"]: r["simhash"]
+           for r in dedup.simhash(docs, hash_mode="xxhash64").collect()}
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(TX.normalize_text(F.col("text")), " "))
+        .alias("tok"),
+    ).filter(F.col("tok") != "").select("doc_id", F.xxhash64("tok")
+                                        .alias("th")).collect()
+    votes: dict[int, np.ndarray] = {}
+    for r in toks:
+        h = np.uint64(r["th"] % (1 << 64))
+        bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+        votes.setdefault(r["doc_id"], np.zeros(64, np.int64))
+        votes[r["doc_id"]] += 2 * bits.astype(np.int64) - 1
+    for did, _, _ in [(7, "", "c"), (8, "   ", "c")]:
+        votes.setdefault(did, np.zeros(64, np.int64))
+    assert set(got) == set(votes)
+    for did, acc in votes.items():
+        val = int(((acc > 0).astype(np.uint64)
+                   << np.arange(64, dtype=np.uint64)).sum())
+        exp = val - (1 << 64) if val >= (1 << 63) else val
+        assert got[did] == exp, f"doc {did}: {got[did]} != {exp}"
+    assert got[7] == 0 and got[8] == 0
+    # the dup pair must still collide bit-for-bit in the JVM mode
+    assert got[1] == got[2]
+
+
 def test_simhash_near_pairs(spark):
     sim = dedup.simhash(_docs(spark))
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
@@ -121,6 +164,16 @@ def test_knn_and_near_dup(spark):
 
     nd = similarity.cosine_near_dup(vecs, threshold=0.9, block_col="label")
     assert {(r["id_a"], r["id_b"]) for r in nd.collect()} == {(0, 1)}
+
+    # blockless = O(n^2) cross join: must raise unless explicitly allowed
+    # (round-6 guard; embedding_lsh_pairs is the label-free scale path)
+    import pytest
+
+    with pytest.raises(ValueError, match="cross join"):
+        similarity.cosine_near_dup(vecs, threshold=0.9)
+    nd_all = similarity.cosine_near_dup(
+        vecs, threshold=0.9, allow_cross_join=True)
+    assert {(r["id_a"], r["id_b"]) for r in nd_all.collect()} == {(0, 1)}
 
 
 def test_knn_ivf_buckets(spark):
