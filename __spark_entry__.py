@@ -2411,7 +2411,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang_pred, CAST(floor(quality * 5) AS INTEGER) AS q_band,
                    count(*) AS n_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-                   round(avg(quality), 6) AS avg_quality
+                   round(avg(quality), 6) AS avg_quality,
+                   CASE lang_pred WHEN 'en' THEN 'English'
+                        WHEN 'de' THEN 'German' WHEN 'fr' THEN 'French'
+                        WHEN 'es' THEN 'Spanish' ELSE lang_pred
+                   END AS lang_name
             FROM p GROUP BY 1, 2
         """,
         "knn_bruteforce": """

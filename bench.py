@@ -126,11 +126,24 @@ def main() -> None:
     qs = entry_mod.queries()
     times: dict[str, float] = {}
 
+    # SPARK_GRAFT_ONLY="minhash_lsh,incremental_dedup" restricts the run
+    # to a comma-separated query subset (plus extract_pipeline iff
+    # listed) — the reconciliation protocol (BENCH.md: >=3 fresh-JVM
+    # min-of-2 samples of a disputed family) needs repeated fresh-JVM
+    # samples of a few queries without paying the full headline sweep
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    headline = HEADLINE
+    run_extract = True
+    if only:
+        sel = [s.strip() for s in only.split(",") if s.strip()]
+        headline = [n for n in HEADLINE if n in sel]
+        run_extract = "extract_pipeline" in sel
+
     # warmup at the smallest sf: Janino codegen compilation of the wide
     # expressions costs seconds per plan shape and is a one-time cost in
     # any long-running deployment — measure steady-state, not compile
     warm_dir = sf_dir.replace(f"sf{m.group(1)}", "sf0.001") if m else sf_dir
-    for name in HEADLINE:
+    for name in headline:
         try:
             materialize(qs[name](spark, warm_dir))
         except Exception:
@@ -139,7 +152,7 @@ def main() -> None:
 
     reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
     spreads: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in headline:
         samples = []
         for _ in range(reps):
             t0 = time.time()
@@ -162,41 +175,48 @@ def main() -> None:
     # table. The input is MATERIALIZED to parquet outside the timed region
     # — the measurement is the engine reading a table (the deployment
     # shape), not the synthetic generator's zlib/json cost.
-    inp = f"/tmp/bench_extract_input_sf{sf}"
-    if not os.path.exists(f"{inp}/documents_spans.parquet"):
-        datagen.write_dataset(spark, inp, n_docs)
-    docs = spark.read.parquet(f"{inp}/documents_spans.parquet")
-    blobs = spark.read.parquet(f"{inp}/page_blobs.parquet")
-    materialize(pipeline.extract(
-        docs.limit(40), blobs, with_tables=True))  # warm same plan shape
-    samples = []
-    for _ in range(reps):
-        spark.catalog.clearCache()
-        t0 = time.time()
-        materialize(pipeline.extract(docs, blobs, with_tables=True))
-        samples.append(time.time() - t0)
-    times["extract_pipeline"] = round(min(samples), 3)
-    spreads["extract_pipeline"] = [round(min(samples), 3),
-                                   round(max(samples), 3)]
+    stages = None
+    if run_extract:
+        inp = f"/tmp/bench_extract_input_sf{sf}"
+        if not os.path.exists(f"{inp}/documents_spans.parquet"):
+            datagen.write_dataset(spark, inp, n_docs)
+        docs = spark.read.parquet(f"{inp}/documents_spans.parquet")
+        blobs = spark.read.parquet(f"{inp}/page_blobs.parquet")
+        materialize(pipeline.extract(
+            docs.limit(40), blobs, with_tables=True))  # warm same plan shape
+        samples = []
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            materialize(pipeline.extract(docs, blobs, with_tables=True))
+            samples.append(time.time() - t0)
+        times["extract_pipeline"] = round(min(samples), 3)
+        spreads["extract_pipeline"] = [round(min(samples), 3),
+                                       round(max(samples), 3)]
 
-    spark.catalog.clearCache()
-    stages = extract_stage_times(spark, docs, blobs, par=cpus)
-    spark.catalog.clearCache()
+        spark.catalog.clearCache()
+        stages = extract_stage_times(spark, docs, blobs, par=cpus)
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "total_headline_sec",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
-        "extract_docs": n_docs,
-        "extract_docs_per_sec": round(n_docs / times["extract_pipeline"], 2),
-        "extract_stages": stages,
         "cpus": cpus,
         "reps": reps,
         "query_spreads": spreads,
-    }))
+    }
+    if run_extract:
+        out.update({
+            "extract_docs": n_docs,
+            "extract_docs_per_sec": round(
+                n_docs / times["extract_pipeline"], 2),
+            "extract_stages": stages,
+        })
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -73,6 +73,7 @@ def main() -> None:
         blobs = spark.read.parquet(args.blobs)
 
     t0 = time.time()
+    reuse_ocr = None  # set by stages whose plan already carries ocr lines
     if args.stage in ("extract", "ocr"):
         with_tables = args.stage == "extract" and not args.no_tables
         if args.checkpoint:
@@ -104,6 +105,13 @@ def main() -> None:
                 ordered.select("media_ref", "line_idx", "position",
                                "x1", "y1", "x2", "y2", "polygon"),
                 pages))
+            if args.render_html:
+                # the render flag consumes the same ocr frame — persist
+                # BEFORE the table write materializes it so the render
+                # pass reads the cache instead of re-running
+                # detect+slice+recognize (rule 2)
+                ocr = ocr.persist()
+                reuse_ocr = ocr
             out = tables.table_stage(
                 layout.layout_stage_tiled(pages), pages, ocr)
             unit = "cells"
@@ -118,44 +126,54 @@ def main() -> None:
                                      args.json_export)
         print(f"json export -> {args.json_export}")
 
-    if args.debug_images:
-        from surya_spark.operators import detection as det_op
-        from surya_spark.sources import debug_draw
+    if args.debug_images or args.render_html:
+        # shared intermediates for the debug/render flags, computed ONCE:
+        # reuse the stage result already written to --out when it IS the
+        # needed frame (detect → lines; table → the persisted ocr above),
+        # recompute otherwise — before this the flags re-ran detection
+        # (and recognition) from scratch, roughly doubling pipeline cost
+        # when combined with ocr/extract stages, and running detection
+        # TWICE when both flags were set
+        from surya_spark.operators import (detection as det_op,
+                                           reading_order, recognition)
 
-        # pages feeds detection AND the overlay join — persist (rule 2)
+        # pages feeds detection AND the overlay/render joins (rule 2)
         pages = pipeline.pages_for(docs, blobs).persist()
         lines = (spark.read.parquet(args.out) if args.stage == "detect"
                  else det_op.detection_stage(pages))
-        # two actions (file write + count) — persist (rule 2) so the
-        # detect+draw+encode lineage runs once
-        overlays = debug_draw.debug_overlays(lines, pages).persist()
-        debug_draw.write_pngs(overlays, args.debug_images)
-        n_png = overlays.count()
-        print(f"debug overlays: {n_png} pages -> {args.debug_images}")
-        overlays.unpersist()
-        pages.unpersist()
+        if args.debug_images and args.render_html:
+            lines = lines.persist()  # two flag consumers (rule 2)
 
-    if args.render_html:
-        from surya_spark.operators import (detection as det_op,
-                                           reading_order, recognition)
-        from surya_spark.sources import render_html as rh
+        if args.debug_images:
+            from surya_spark.sources import debug_draw
 
-        pages = pipeline.pages_for(docs, blobs).persist()
-        ordered = reading_order.order_lines(
-            det_op.detection_stage(pages))
-        ocr = recognition.recognize(
-            recognition.slice_crops(
-                ordered.select("media_ref", "line_idx", "position",
-                               "x1", "y1", "x2", "y2", "polygon"),
-                pages),
-            emit_chars=False)
-        # two actions (file write + count) — persist (rule 2) so the
-        # detect+slice+recognize+render lineage runs once
-        rendered = rh.html_render_pages(ocr, pages).persist()
-        rh.write_html(rendered, args.render_html)
-        print(f"html render: {rendered.count()} pages "
-              f"-> {args.render_html}")
-        rendered.unpersist()
+            # two actions (file write + count) — persist (rule 2) so the
+            # draw+encode lineage runs once
+            overlays = debug_draw.debug_overlays(lines, pages).persist()
+            debug_draw.write_pngs(overlays, args.debug_images)
+            n_png = overlays.count()
+            print(f"debug overlays: {n_png} pages -> {args.debug_images}")
+            overlays.unpersist()
+
+        if args.render_html:
+            from surya_spark.sources import render_html as rh
+
+            ocr = reuse_ocr
+            if ocr is None:
+                ordered = reading_order.order_lines(lines)
+                ocr = recognition.recognize(
+                    recognition.slice_crops(
+                        ordered.select("media_ref", "line_idx", "position",
+                                       "x1", "y1", "x2", "y2", "polygon"),
+                        pages),
+                    emit_chars=False)
+            # two actions (file write + count) — persist (rule 2) so the
+            # slice+recognize+render lineage runs once
+            rendered = rh.html_render_pages(ocr, pages).persist()
+            rh.write_html(rendered, args.render_html)
+            print(f"html render: {rendered.count()} pages "
+                  f"-> {args.render_html}")
+            rendered.unpersist()
         pages.unpersist()
     spark.stop()
 

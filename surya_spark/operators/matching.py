@@ -164,14 +164,18 @@ def penalized_iou_scores(pred: DataFrame, ref: DataFrame) -> DataFrame:
     to 1.0, −1 per unmatched ref box, 0 per unmatched pred box,
     denominator = n_pred + n_ref − min(n_pred, n_ref).
 
-    Two deliberate deviations with identical scores: (1) the reference
-    assigns even zero-coverage pairs while preds and refs both remain —
+    Two deliberate deviations: (1) score-identical — the reference
+    assigns even zero-coverage pairs while preds and refs both remain;
     a zero assignment contributes exactly 0, the same as the unmatched
     pred it displaces, and never changes the unmatched-REF count
     (min(n_pred, n_ref) pairs always assign), so only the >0 greedy
     matches need materializing; (2) ties break (score DESC, pred_id,
-    ref_id) — deterministic, where the reference inherits its input
-    list order (shuffle-dependent in a distributed setting).
+    ref_id). On EQUAL-coverage ties the greedy pick order can steer
+    later assignments and therefore the total score, and the reference
+    itself is input-list-order-dependent there (shuffle-dependent in a
+    distributed setting) — so the deterministic order is a
+    reproducibility contract, not a score-parity guarantee on tied
+    inputs.
 
     Exactness: per-match coverage is floored to 1e-6 units (BIGINT), so
     per-key sums are exact integer arithmetic on both engines — the

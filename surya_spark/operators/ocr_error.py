@@ -35,7 +35,14 @@ def classify_spans(span_rows: DataFrame, text_col: str = "text",
                    model_udf: Callable | None = None) -> DataFrame:
     """Adds ocr_label to text-span rows. model_udf: optional pandas_udf
     (Series→Series of 'good'/'bad') replacing the heuristic — the real
-    DistilBERT slot in deployment."""
+    DistilBERT slot in deployment.
+
+    Tokenization is MODEL-PROVIDER-INTERNAL by contract: the slot takes
+    raw text, and a real provider brings its own wordpiece tokenizer
+    (the reference bundles one at
+    /root/reference/surya/ocr_error/tokenizer.py — ~500 LoC of
+    DistilBERT tokenization that lives inside its model wrapper, not in
+    its relational surface; same boundary here)."""
     label = (
         model_udf(F.col(text_col)) if model_udf is not None
         else heuristic_label(F.col(text_col))

@@ -400,12 +400,23 @@ def recognize(crops: DataFrame,
     sorted_crops = crops.sortWithinPartitions((F.col("x2") - F.col("x1")).desc())
     has_task_col = "task" in crops.columns
     has_input = "input_text" in crops.columns
+    # optional language hints ride through unchanged (the reference's
+    # OCR results carry per-result language lists surfaced via
+    # functions/languages.py, mirroring ref recognition/languages.py) —
+    # tail-first optional column like task/input_text, so existing
+    # callers and slots are untouched when absent
+    has_langs = "langs" in crops.columns
 
     has_res = "res_x" in crops.columns
-    out_schema = (T.StructType(
-        list(_OCR_OUT)
-        + [T.StructField("original_text_good", T.BooleanType(), False)])
-        if has_input else _OCR_OUT)
+    extra_fields = []
+    if has_input:
+        extra_fields.append(
+            T.StructField("original_text_good", T.BooleanType(), False))
+    if has_langs:
+        extra_fields.append(
+            T.StructField("langs", T.ArrayType(T.StringType()), True))
+    out_schema = (T.StructType(list(_OCR_OUT) + extra_fields)
+                  if extra_fields else _OCR_OUT)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -480,6 +491,10 @@ def recognize(crops: DataFrame,
                 }
                 if has_input:
                     row["original_text_good"] = otg
+                if has_langs:
+                    lv = pdf["langs"].iloc[i]
+                    row["langs"] = None if lv is None else [
+                        str(c) for c in lv]
                 rows.append(row)
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {f.name: pd.Series([], dtype=object) for f in out_schema})

@@ -46,8 +46,13 @@ def table_crops(regions: DataFrame, pages: DataFrame,
                 expand_pct: float = 0.01) -> DataFrame:
     """Layout regions labeled Table → ordered table_idx per page → crop
     blobs. table_idx = row_number over y (top-to-bottom), matching the
-    reference's per-page table ordering."""
-    w = Window.partitionBy("media_ref").orderBy("y1", "x1")
+    reference's per-page table ordering. The window tie-breaks on
+    emit_idx (model emit order) so two tables at identical (y1, x1)
+    origins get the SAME table_idx here and in fused_table_crops, which
+    sorts by the same key — row_number without the full key is
+    partition-order-dependent on exact ties."""
+    tie = ["emit_idx"] if "emit_idx" in regions.columns else ["x2", "y2"]
+    w = Window.partitionBy("media_ref").orderBy("y1", "x1", *tie)
     tables = (
         regions.filter(F.col("label").isin(*TABLE_LABELS))
         .withColumn("table_idx", F.row_number().over(w) - 1)
@@ -167,7 +172,10 @@ def fused_table_crops(pages: DataFrame,
                 ]
                 if not tboxes:
                     continue
-                tboxes.sort(key=lambda r: (r["y1"], r["x1"]))
+                # same full sort key as the relational table_crops window
+                # (y1, x1, emit_idx) — tie-deterministic across paths
+                tboxes.sort(key=lambda r: (r["y1"], r["x1"],
+                                           r.get("emit_idx", 0)))
                 if desc is None:
                     desc = decode_page(blob)
                 for t_idx, b in enumerate(tboxes):

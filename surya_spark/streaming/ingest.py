@@ -111,8 +111,23 @@ def stream_incremental_dedup(
         try:
             idx = spark.read.parquet(index_dir)
             have_index = True
-        except AnalysisException:
-            idx, have_index = None, False
+        except AnalysisException as e:
+            # ONLY the two "no index yet" conditions may fall through to
+            # the novel-batch path; any other analysis failure (schema
+            # conflict in the index dir, bad path config) must surface —
+            # silently skipping dedup on a corrupt index would flag a
+            # whole batch novel
+            cls = getattr(e, "getCondition",
+                          getattr(e, "getErrorClass",
+                                  lambda: None))() or ""
+            msg = str(e)
+            if ("PATH_NOT_FOUND" in cls
+                    or "UNABLE_TO_INFER_SCHEMA" in cls
+                    or "Path does not exist" in msg
+                    or "Unable to infer schema" in msg):
+                idx, have_index = None, False
+            else:
+                raise
         if have_index:
             flagged = dedup.minhash_novelty(
                 batch_df, corpus_index=idx,

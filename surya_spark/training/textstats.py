@@ -27,7 +27,12 @@ def text_profile(docs: DataFrame, text_col: str = "text",
 
 def corpus_language_rollup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Language × quality-band rollup — the kind of corpus report a
-    training-data pipeline runs after extraction."""
+    training-data pipeline runs after extraction. Carries the
+    human-readable language name (functions/languages.py, mirroring ref
+    surya/recognition/languages.py) next to the predicted code — the
+    reference's user-visible language-metadata surface."""
+    from surya_spark.functions.languages import language_name_col
+
     prof = docs.select(
         TX.lang_id(F.col(text_col)).alias("lang_pred"),
         TX.quality_score(F.col(text_col)).alias("quality"),
@@ -42,4 +47,5 @@ def corpus_language_rollup(docs: DataFrame, text_col: str = "text") -> DataFrame
             F.sum("n_tokens").alias("total_tokens"),
             F.round(F.avg("quality"), 6).alias("avg_quality"),
         )
+        .withColumn("lang_name", language_name_col("lang_pred"))
     )

@@ -328,3 +328,39 @@ def test_fused_page_crops_byte_identical_to_relational(spark):
         fused = rows(recognition.fused_page_crops(pages, slot))
         assert fused == relational and len(fused) > 0, slot.__name__
     pages.unpersist()
+
+
+def test_langs_passthrough_and_names(spark):
+    """Optional per-crop language hints ride through recognize unchanged
+    (the reference's OCR results carry language lists), and the
+    functions/languages surface maps codes to the reference's display
+    names (ref surya/recognition/languages.py:1-98)."""
+    from surya_spark.functions import languages as L
+
+    pages = _pages(spark, n=4)
+    crops = recognition.fused_page_crops(pages).withColumn(
+        "langs", F.array(F.lit("en"), F.lit("zh")))
+    out = recognition.recognize(crops, emit_chars=False)
+    assert "langs" in out.columns
+    named = out.select(
+        "media_ref", "line_idx", "langs",
+        L.language_names_col("langs").alias("names")).collect()
+    assert named, "no ocr lines"
+    for r in named:
+        assert list(r["langs"]) == ["en", "zh"]
+        assert list(r["names"]) == ["English", "Chinese"]
+
+    # code<->name dicts: reference-parity spot checks + inverse map
+    assert L.CODE_TO_LANGUAGE["_math"] == "Math"
+    assert L.LANGUAGE_TO_CODE["German"] == "de"
+    assert L.language_name("und") == "und"  # unknown echoes back
+    # single-code expression + the broadcastable dim
+    row = spark.range(1).select(
+        L.language_name_col(F.lit("fr")).alias("n")).first()
+    assert row["n"] == "French"
+    dim = L.language_dim(spark)
+    assert dim.count() == len(L.CODE_TO_LANGUAGE)
+    # absent langs column: schema unchanged (tail-first optional rule)
+    out2 = recognition.recognize(
+        recognition.fused_page_crops(pages), emit_chars=False)
+    assert "langs" not in out2.columns
