@@ -84,9 +84,14 @@ def knn_bruteforce(vectors: DataFrame, queries: DataFrame, k: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    query_id: str = "query_id",
                    dim: int | None = None) -> DataFrame:
-    """Exact top-k neighbors per query by cosine. queries is expected to be
-    small → broadcast, so the 'cross join' is a map-side nested loop with
-    no shuffle of the big side; ranking is one window per query id."""
+    """Exact top-k neighbors per query by cosine. CONTRACT: queries MUST
+    be small (it is driver-broadcast — the deliberate exception to the
+    no-data-derived-broadcast rule, valid only because the query set is
+    bounded by the caller, e.g. a pushed filter); anyone re-wiring this
+    with a corpus-derived query side reintroduces the serial
+    driver-collect the rule exists to prevent — use knn_ivf instead.
+    The 'cross join' is then a map-side nested loop with no shuffle of
+    the big side; ranking is one window per query id."""
     q = with_norm(
         queries.select(F.col(query_id), F.col(vec_col).alias("q_vec")),
         "q_vec", "q_n", dim)

@@ -65,3 +65,23 @@ def test_stage_cli(tmp_path):
         schema = set(pq.read_schema(
             next(out.glob("*.parquet")).as_posix()).names)
         assert cols <= schema, (stage, schema)
+
+
+def test_cli_debug_render_flags_shared_pass(tmp_path):
+    """--debug-images and --render-html combined with a stage (round-6
+    reuse fix): intermediates are computed once and shared — detect's
+    --out is reused as the overlay lines, the table stage's ocr frame
+    feeds the render pass — and both sinks land files."""
+    out = tmp_path / "tbl"
+    r = subprocess.run(
+        [sys.executable, "scripts/extract.py", "--synthetic", "6",
+         "--out", str(out), "--cores", "4", "--stage", "table",
+         "--debug-images", str(tmp_path / "png"),
+         "--render-html", str(tmp_path / "html")],
+        capture_output=True, text=True, cwd=".",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "debug overlays:" in r.stdout
+    assert "html render:" in r.stdout
+    assert list((tmp_path / "png").rglob("*.png"))
+    assert list((tmp_path / "html").rglob("*.html"))
