@@ -209,10 +209,7 @@ def fused_page_crops(pages: DataFrame,
 
     No highres variant: the 2x-render path needs the second blob table
     and stays on relational slice_crops."""
-    import math
-
     from ..datagen import BAND as _BAND
-    from . import detection as _det
 
     if detect_slot is None:
         detect_slot = slots.surrogate_detect
@@ -225,51 +222,74 @@ def fused_page_crops(pages: DataFrame,
                 pdf["media_ref"], pdf["width"], pdf["height"],
                 pdf["img_bytes"],
             ):
-                blob = bytes(blob)
-                wd = float(w)
-                page_rows = []
-                for i, d in enumerate(
-                        detect_slot(ref, int(w), int(h), blob)):
-                    poly = d["polygon"]
-                    xs = [p[0] for p in poly]
-                    ys = [p[1] for p in poly]
-                    page_rows.append({
-                        "media_ref": ref, "line_idx": i, "polygon": poly,
-                        "x1": min(xs), "y1": min(ys),
-                        "x2": max(xs), "y2": max(ys),
-                        "confidence": d["confidence"],
-                    })
-                page_rows = _det._postprocess_page(
-                    page_rows, int(w), int(h))
-                if not page_rows:
-                    continue
-                crossing = any(
-                    r["x1"] < wd * 0.48 and r["x2"] > wd * 0.52
-                    for r in page_rows)
-                half = wd / 2.0
-                page_rows.sort(key=lambda r: (
-                    0 if crossing or (r["x1"] + r["x2"]) / 2.0 < half
-                    else 1,
-                    math.floor(r["y1"] / band_v),
-                    r["x1"], r["y1"], r["line_idx"],
-                ))
-                desc = decode_page(blob)
-                for pos, r in enumerate(page_rows, start=1):
-                    bbox = [r["x1"], r["y1"], r["x2"], r["y2"]]
-                    rows.append({
-                        "media_ref": ref,
-                        "line_idx": int(r["line_idx"]),
-                        "position": pos,
-                        "x1": r["x1"], "y1": r["y1"],
-                        "x2": r["x2"], "y2": r["y2"],
-                        "crop_bytes": slots.encode_crop(
-                            desc, bbox, r["polygon"]),
-                        "res_x": 1.0, "res_y": 1.0,
-                    })
+                page_rows, _ = page_crop_rows(
+                    ref, int(w), int(h), bytes(blob), detect_slot, band_v)
+                rows.extend(page_rows)
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {f.name: pd.Series([], dtype=object) for f in _CROPS})
 
     return pages.mapInPandas(run, schema=_CROPS)
+
+
+def page_crop_rows(ref: str, w: int, h: int, blob: bytes,
+                   detect_slot: Callable, band_v: float,
+                   desc=None) -> tuple[list[dict], object]:
+    """Per-page kernel of fused_page_crops (detect slot → fused
+    post-process → column-aware order → crop encode). ONE implementation
+    shared by fused_page_crops and the combined single-decode pass
+    (operators/fused.fused_all_crops) so the paths cannot drift — the
+    repo's fusion-parity convention.
+
+    Returns (crop row dicts, decoded page or the desc passed in): a
+    caller running several page-grain kernels hands the returned desc to
+    the next kernel and the blob is zlib-decoded at most once per page.
+    desc stays None when no line survives post-processing (the decode is
+    lazy — pages with no text never pay it)."""
+    import math
+
+    from . import detection as _det
+
+    wd = float(w)
+    page_rows = []
+    for i, d in enumerate(detect_slot(ref, int(w), int(h), blob)):
+        poly = d["polygon"]
+        xs = [p[0] for p in poly]
+        ys = [p[1] for p in poly]
+        page_rows.append({
+            "media_ref": ref, "line_idx": i, "polygon": poly,
+            "x1": min(xs), "y1": min(ys),
+            "x2": max(xs), "y2": max(ys),
+            "confidence": d["confidence"],
+        })
+    page_rows = _det._postprocess_page(page_rows, int(w), int(h))
+    if not page_rows:
+        return [], desc
+    crossing = any(
+        r["x1"] < wd * 0.48 and r["x2"] > wd * 0.52
+        for r in page_rows)
+    half = wd / 2.0
+    page_rows.sort(key=lambda r: (
+        0 if crossing or (r["x1"] + r["x2"]) / 2.0 < half
+        else 1,
+        math.floor(r["y1"] / band_v),
+        r["x1"], r["y1"], r["line_idx"],
+    ))
+    if desc is None:
+        desc = decode_page(blob)
+    rows = []
+    for pos, r in enumerate(page_rows, start=1):
+        bbox = [r["x1"], r["y1"], r["x2"], r["y2"]]
+        rows.append({
+            "media_ref": ref,
+            "line_idx": int(r["line_idx"]),
+            "position": pos,
+            "x1": r["x1"], "y1": r["y1"],
+            "x2": r["x2"], "y2": r["y2"],
+            "crop_bytes": slots.encode_crop(
+                desc, bbox, r["polygon"]),
+            "res_x": 1.0, "res_y": 1.0,
+        })
+    return rows, desc
 
 
 _OCR_OUT = T.StructType([

@@ -123,8 +123,6 @@ def fused_table_crops(pages: DataFrame,
 
     Scale: one pass over the pre-partitioned pages, zero exchanges;
     per-page work is bounded (≤4 tiles × ≤100 regions)."""
-    from . import layout as L
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -132,67 +130,93 @@ def fused_table_crops(pages: DataFrame,
                 pdf["media_ref"], pdf["width"], pdf["height"],
                 pdf["img_bytes"],
             ):
-                w, h = int(w), int(h)
-                blob = bytes(blob)
-                desc = None
-                if w <= slice_min and h <= slice_min:
-                    kept = list(layout_slot(ref, w, h, blob))
-                else:
-                    along_h, step, n_tiles = L.page_tile_plan(
-                        w, h, slice_min, slice_size, max_slices)
-                    dim = h if along_h else w
-                    desc = decode_page(blob)
-                    recs = []
-                    for ti in range(n_tiles):
-                        o = ti * step
-                        t_end = min(o + step, dim)
-                        tw, th, sub_blob = L.tile_sub_blob(
-                            desc, w, h, along_h, o, t_end)
-                        dx, dy = (0, o) if along_h else (o, 0)
-                        tile_recs = [
-                            {**d,
-                             "x1": d["x1"] + dx, "y1": d["y1"] + dy,
-                             "x2": d["x2"] + dx, "y2": d["y2"] + dy,
-                             "tile_idx": ti}
-                            for d in layout_slot(f"{ref}#t{ti}", tw, th,
-                                                 sub_blob)
-                        ]
-                        # within a tile the merge order is the stitched
-                        # position = emit order (stable on ties, like the
-                        # relational mergesort)
-                        tile_recs.sort(key=lambda r: r["emit_idx"])
-                        recs.extend(tile_recs)
-                    kept = L.accumulate_tile_merges(
-                        recs, along_h, merge_tolerance, merge_margin)
-                tboxes = [
-                    r for r in kept
-                    if L.relabel_header_footer_record(
-                        r["label"], r["y1"], r["y2"], h, r["top_k"]
-                    ) in TABLE_LABELS
-                ]
-                if not tboxes:
-                    continue
-                # same full sort key as the relational table_crops window
-                # (y1, x1, emit_idx) — tie-deterministic across paths
-                tboxes.sort(key=lambda r: (r["y1"], r["x1"],
-                                           r.get("emit_idx", 0)))
-                if desc is None:
-                    desc = decode_page(blob)
-                for t_idx, b in enumerate(tboxes):
-                    dx = (b["x2"] - b["x1"]) * expand_pct
-                    dy = (b["y2"] - b["y1"]) * expand_pct
-                    bbox = [b["x1"] - dx, b["y1"] - dy,
-                            b["x2"] + dx, b["y2"] + dy]
-                    rows.append({
-                        "media_ref": ref, "table_idx": t_idx,
-                        "x1": bbox[0], "y1": bbox[1],
-                        "x2": bbox[2], "y2": bbox[3],
-                        "crop_bytes": slots.encode_table_crop(desc, bbox),
-                    })
+                t_rows, _ = table_crop_rows(
+                    ref, int(w), int(h), bytes(blob), layout_slot,
+                    slice_min, slice_size, max_slices, expand_pct,
+                    merge_tolerance, merge_margin)
+                rows.extend(t_rows)
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {f.name: pd.Series([], dtype=object) for f in _TABLE_CROPS})
 
     return pages.mapInPandas(run, schema=_TABLE_CROPS)
+
+
+def table_crop_rows(ref: str, w: int, h: int, blob: bytes,
+                    layout_slot: Callable,
+                    slice_min: int = 1500, slice_size: int = 1200,
+                    max_slices: int = 4, expand_pct: float = 0.01,
+                    merge_tolerance: float = 0.05,
+                    merge_margin: float = 0.05,
+                    desc=None) -> tuple[list[dict], object]:
+    """Per-page kernel of fused_table_crops (layout slot [tiled] →
+    cross-tile merge → relabel → ordered table crops). ONE implementation
+    shared by fused_table_crops and the combined single-decode pass
+    (operators/fused.fused_all_crops) so the paths cannot drift.
+
+    Returns (crop row dicts, decoded page or the desc passed in) —
+    callers chaining several page-grain kernels reuse desc and the blob
+    is zlib-decoded at most once per page; pages with no tables (and
+    small enough to skip tiling) never pay the decode."""
+    from . import layout as L
+
+    desc_out = desc
+    if w <= slice_min and h <= slice_min:
+        kept = list(layout_slot(ref, w, h, blob))
+    else:
+        along_h, step, n_tiles = L.page_tile_plan(
+            w, h, slice_min, slice_size, max_slices)
+        dim = h if along_h else w
+        if desc_out is None:
+            desc_out = decode_page(blob)
+        recs = []
+        for ti in range(n_tiles):
+            o = ti * step
+            t_end = min(o + step, dim)
+            tw, th, sub_blob = L.tile_sub_blob(
+                desc_out, w, h, along_h, o, t_end)
+            dx, dy = (0, o) if along_h else (o, 0)
+            tile_recs = [
+                {**d,
+                 "x1": d["x1"] + dx, "y1": d["y1"] + dy,
+                 "x2": d["x2"] + dx, "y2": d["y2"] + dy,
+                 "tile_idx": ti}
+                for d in layout_slot(f"{ref}#t{ti}", tw, th,
+                                     sub_blob)
+            ]
+            # within a tile the merge order is the stitched
+            # position = emit order (stable on ties, like the
+            # relational mergesort)
+            tile_recs.sort(key=lambda r: r["emit_idx"])
+            recs.extend(tile_recs)
+        kept = L.accumulate_tile_merges(
+            recs, along_h, merge_tolerance, merge_margin)
+    tboxes = [
+        r for r in kept
+        if L.relabel_header_footer_record(
+            r["label"], r["y1"], r["y2"], h, r["top_k"]
+        ) in TABLE_LABELS
+    ]
+    if not tboxes:
+        return [], desc_out
+    # same full sort key as the relational table_crops window
+    # (y1, x1, emit_idx) — tie-deterministic across paths
+    tboxes.sort(key=lambda r: (r["y1"], r["x1"],
+                               r.get("emit_idx", 0)))
+    if desc_out is None:
+        desc_out = decode_page(blob)
+    rows = []
+    for t_idx, b in enumerate(tboxes):
+        dx = (b["x2"] - b["x1"]) * expand_pct
+        dy = (b["y2"] - b["y1"]) * expand_pct
+        bbox = [b["x1"] - dx, b["y1"] - dy,
+                b["x2"] + dx, b["y2"] + dy]
+        rows.append({
+            "media_ref": ref, "table_idx": t_idx,
+            "x1": bbox[0], "y1": bbox[1],
+            "x2": bbox[2], "y2": bbox[3],
+            "crop_bytes": slots.encode_table_crop(desc_out, bbox),
+        })
+    return rows, desc_out
 
 
 def normalize_table_item(item: dict, dx, dy) -> dict:

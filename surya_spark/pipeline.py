@@ -3,16 +3,19 @@
 The flagship dataflow (SURVEY.md §7.2), all DataFrame ops:
 
     explode spans ─► media spans ⋈ page_blobs ─► pages
-    pages ─► fused page pass (detect slot → clean/expand → order →
-             slice crops) ─► recognize slot ─► ocr_lines
-    pages ─► fused table pass (layout slot [tiled] → merge → relabel →
-             table crops) ─► fused cell pass (table slot → grid →
+    pages ─► combined page pass, ONE zlib decode per page
+             (detect slot → clean/expand → order → slice crops ∥
+              layout slot [tiled] → merge → relabel → table crops)
+             ─► tagged crop union (persisted — the DAG's one fan-out)
+    crop union [lines]  ─► recognize slot ─► ocr_lines
+    crop union [tables] ─► fused cell pass (table slot → grid →
              spanning override) ⋈ ocr_lines ─► cells
     ocr_lines ∪ cells ∪ passthrough spans ─► assemble ─► out_spans
 
 (The per-step relational operators — detect/clean/order/slice, layout
-regions/stitch/merge, table_crops — remain the library surface and are
-pytest-pinned byte-identical to the fused passes.)
+regions/stitch/merge, table_crops — remain the library surface, and the
+single-purpose fused passes remain for single-family callers; each
+level is pytest-pinned byte-identical to the next.)
 
 Skew note: all heavy stages are keyed by media_ref (page grain), so an
 image-heavy document's pages spread across executors automatically — the
@@ -27,8 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .operators import assemble, detection, layout, reading_order, recognition
-from .operators import slots, tables
+from .operators import assemble, detection, fused, layout, reading_order
+from .operators import recognition, slots, tables
 from .plans import caching, partitioning
 
 
@@ -85,15 +88,22 @@ def extract(
     emit_chars: bool = False,
     highres_blobs: DataFrame | None = None,
 ) -> DataFrame:
-    """persist=True pins the two fan-out points of the DAG:
+    """persist=True pins the fan-out points of the DAG:
 
-      * pages feeds TWO consumers (the fused detect→order→slice pass
-        and the fused layout→table-crop pass) — unpersisted, Spark
-        re-executes the scan+join+blob shuffle per branch;
-      * ocr_lines feeds TWO (cell-text assignment and free-line assembly).
+      * the combined crop pass output feeds TWO consumers (recognize and
+        the table stage) — unpersisted, Spark re-executes the
+        scan+join+blob shuffle+decode per branch (measured on 2000
+        docs/32 cores: the unpersisted plan re-ran the full chain twice,
+        46 s end-to-end; persisted ≈ half);
+      * ocr_lines feeds TWO when with_tables (cell-text assignment and
+        free-line assembly);
+      * pages itself has ONE consumer on the default path (the combined
+        fused_all_crops pass decodes once and emits both crop families)
+        and is deliberately NOT persisted — at corpus scale the raw page
+        blobs are the pipeline's largest cache footprint, and the crop
+        union persisted instead is strictly smaller. Only the highres
+        relational path (2–3 consumers of pages) still pins pages.
 
-    Measured on 2000 docs/32 cores: unpersisted plan re-ran the full
-    detect→slice→recognize chain twice (46 s end-to-end); persisted ≈ half.
     checkpointed_extract gets the same reuse from stage materialization."""
     spark = documents.sparkSession
     # align the pages partition count with spark.sql.shuffle.partitions:
@@ -120,23 +130,41 @@ def extract(
         # every downstream media_ref join (no separate repartition)
         pages = pages_for(documents, page_blobs, pack_partitions,
                           partitions=par if persist else None)
-        if persist:
-            pages = caching.managed(pages)
 
+        crops_t = None
         if highres_blobs is None:
-            # detect→order→slice fused into ONE page-grain pass: every
-            # step is page-local, so the relational chain's two
-            # line-table exchanges (order window + slice aggregate) are
-            # pure overhead — mapInPandas erases partitioning info and
-            # forced both (round-3 lesson). Crops pytest-pinned
-            # byte-identical to the relational path.
-            crops = recognition.fused_page_crops(pages, detect_slot)
+            if with_tables:
+                # detect→order→slice AND layout→table-crop in ONE
+                # page-grain pass sharing a single zlib page decode
+                # (operators/fused.py) — pages drops to a single
+                # consumer, so the raw blob bytes are never cached; the
+                # (smaller) crop union is the persisted fan-out instead.
+                # Both crop families pytest-pinned byte-identical to the
+                # single-purpose fused passes, which are themselves
+                # pinned to the relational library chain.
+                allc = fused.fused_all_crops(pages, detect_slot,
+                                             layout_slot)
+                if persist:
+                    allc = caching.managed(allc)
+                crops = fused.line_crops(allc)
+                crops_t = fused.table_crops(allc)
+            else:
+                # detect→order→slice fused into ONE page-grain pass:
+                # every step is page-local, so the relational chain's
+                # two line-table exchanges (order window + slice
+                # aggregate) are pure overhead — mapInPandas erases
+                # partitioning info and forced both (round-3 lesson).
+                # Single consumer of pages: no persist needed.
+                crops = recognition.fused_page_crops(pages, detect_slot)
         else:
             # highres path: detection/layout read the lowres blob;
             # recognition crops come from the 2x render with polygons
             # rescaled (ref recognition/__init__.py:158-170,
             # scripts/config.py:36-42) — needs the relational slice join
-            # against the second blob table
+            # against the second blob table. pages feeds 2–3 consumers
+            # here, so the persist stays.
+            if persist:
+                pages = caching.managed(pages)
             lines = detection.detection_stage(pages, detect_slot)
             ordered = reading_order.order_lines(lines)
             hp = pages_for(documents, highres_blobs)
@@ -146,25 +174,20 @@ def extract(
                 pages,
                 highres_pages=hp,
             )
+            if with_tables:
+                crops_t = tables.fused_table_crops(pages, layout_slot)
         # chars pruned inside the UDF unless requested: span assembly never
         # reads them and they are the pipeline's single largest Python/Arrow
         # cost (see recognition.recognize docstring)
         ocr_lines = recognition.recognize(crops, recognize_slot,
                                           emit_chars=emit_chars)
-        if persist:
+        if persist and with_tables:
+            # two consumers (cell-text assignment + free-line assembly);
+            # without tables, assembly is the only reader — no pin
             ocr_lines = caching.managed(ocr_lines)
 
         cells = None
         if with_tables:
-            # layout→table-crop fused into ONE page-grain pass (same
-            # round-3 lesson as the detect chain above): the relational
-            # form pays a position window, tile stitch join + merge
-            # shuffle, a table_idx window, and a collect_list+join back
-            # onto pages — all page-local. Oversize pages still run the
-            # layout slot per ≤4 tiles (bounded activations) inside the
-            # pass; crops pytest-pinned byte-identical to
-            # table_crops(layout_stage_tiled(pages), pages).
-            crops_t = tables.fused_table_crops(pages, layout_slot)
             cells = tables.table_stage_from_crops(crops_t, ocr_lines,
                                                   table_slot)
 
