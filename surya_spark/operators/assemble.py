@@ -83,16 +83,18 @@ def assemble_spans(documents: DataFrame, ocr_lines: DataFrame,
     ).cast("long"))
     lines = (
         free_lines(ocr_lines, cells)
-        .select("media_ref", "position", "text")
-        .join(media, "media_ref")
         .select(
-            "doc_id", "offset",
+            "media_ref",
             line_order.alias("sub_order"),
-            F.lit("text").alias("kind"), "text", "media_ref",
+            F.lit("text").alias("kind"), "text",
         )
     )
 
-    parts = [passthrough, lines]
+    # lines and cells both resolve to (media_ref, sub_order, kind, text):
+    # union FIRST, then ONE media join — half the join stages of the
+    # per-stream formulation, and the sub_order ranges are disjoint by
+    # the packing invariant so the union is conflict-free
+    staged = lines
     if cells is not None:
         cell_order = F.when(
             (F.col("col_id") < 1000) & (F.col("row_id") < 1_000_000_000),
@@ -101,20 +103,18 @@ def assemble_spans(documents: DataFrame, ocr_lines: DataFrame,
         ).otherwise(F.raise_error(
             "assemble_spans: table exceeds 1000 cols / 1e9 rows packing bound"
         ).cast("long"))
-        cell_items = (
-            cells.select("media_ref", "row_id", "col_id", "text")
-            .join(media, "media_ref")
-            .select(
-                "doc_id", "offset",
-                cell_order.alias("sub_order"),
-                F.lit("cell").alias("kind"), "text", "media_ref",
-            )
+        cell_items = cells.select(
+            "media_ref",
+            cell_order.alias("sub_order"),
+            F.lit("cell").alias("kind"), "text",
         )
-        parts.append(cell_items)
+        staged = staged.unionByName(cell_items)
 
-    items = parts[0]
-    for p in parts[1:]:
-        items = items.unionByName(p)
+    items = passthrough.unionByName(
+        staged.join(media, "media_ref").select(
+            "doc_id", "offset", "sub_order", "kind", "text", "media_ref",
+        )
+    )
 
     # single groupBy: collect (offset, sub_order)-keyed structs, sort
     # inside the array, re-number with the transform index. One exchange
