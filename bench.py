@@ -85,37 +85,40 @@ HEADLINE = [
 # reconciliation for want of this). Records are never reported as
 # results and a missing entry simply disables rescue for that query.
 RECORDS_SF01 = {
-    "bbox6_roundtrip": 1.201,
+    "bbox6_roundtrip": 0.995,
     "clean_boxes": 1.877,
-    "coverage_metric": 2.191,
-    "drop_repeats": 0.351,
+    "coverage_metric": 2.017,
+    "drop_repeats": 0.223,
     "edit_distance": 0.589,
-    "embedding_lsh": 4.056,
-    "events_sessionize": 0.459,
+    "embedding_lsh": 3.904,
+    "events_sessionize": 0.412,
     "exact_dedup": 0.324,
     "extract_pipeline": 5.508,
-    "fuzzy_overlap": 3.739,
+    "fuzzy_overlap": 2.449,
     "heatmap_boxes": 0.368,
     "html_main": 0.662,
     "incremental_dedup": 5.552,
-    "json_extract": 0.438,
-    "knn_bruteforce": 1.235,
-    "knn_ivf": 5.526,
+    "json_extract": 0.344,
+    "knn_bruteforce": 1.187,
+    "knn_ivf": 4.974,
     "minhash_lsh": 3.568,
     "ngram_jaccard": 2.523,
-    "order_priority_window": 0.357,
-    "overlap_pairs": 4.898,
-    "penalized_iou": 3.538,
-    "poly_mask": 0.365,
+    "ocr_error_vote": 0.546,
+    "order_priority_window": 0.354,
+    "overlap_pairs": 4.282,
+    "penalized_iou": 2.906,
+    "poly_mask": 0.332,
     "pricing_summary": 0.305,
     "reading_order": 1.244,
-    "recognition_input_text": 2.052,
-    "render_check": 1.608,
+    "recognition_input_text": 1.33,
+    "render_check": 0.909,
+    "resize_kernels": 0.374,
     "simhash_pairs": 1.461,
-    "spanning_cells": 2.842,
-    "text_profile": 1.151,
-    "top_revenue_nations": 0.76,
-    "word_assembly": 2.796,
+    "spanning_cells": 0.82,
+    "text_profile": 1.128,
+    "top_revenue_nations": 0.759,
+    "windowed_events": 0.383,
+    "word_assembly": 1.115,
 }
 
 
