@@ -44,9 +44,16 @@ LINE_SPACING = 40  # px between line tops; band sort tolerance derives from this
 BAND = 20  # y-band for reading-order sort; truth y ≡ ~band-center mod spacing
 
 
-def _rng(*parts) -> np.random.RandomState:
+def _seed(*parts) -> int:
     h = hashlib.md5(":".join(str(p) for p in parts).encode()).digest()
-    return np.random.RandomState(int.from_bytes(h[:4], "little"))
+    return int.from_bytes(h[:4], "little")
+
+
+def _rng(*parts) -> np.random.RandomState:
+    # A fresh RandomState per call: callers here hold the rng across
+    # nested _rng calls (make_page_descriptor, doc_plan), so the reseeded
+    # shared instance slots.py uses in its hot path is NOT safe here.
+    return np.random.RandomState(_seed(*parts))
 
 
 def _words(rng: np.random.RandomState, n: int) -> str:

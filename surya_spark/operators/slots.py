@@ -20,9 +20,28 @@ from __future__ import annotations
 import json
 import zlib
 
-from ..datagen import MAGIC, SEED, _rng, decode_page
+from ..datagen import MAGIC, SEED, _seed, decode_page
 
 CROP_MAGIC = b"SPC1"
+
+_RS = None  # per-process reusable RandomState (lazily built post-fork)
+
+
+def _rng(*parts):
+    """Same md5-derived legacy stream as datagen._rng, but reseeding ONE
+    reused RandomState instead of constructing one per call — construction
+    pays a SeedSequence init that measured 65x slower than .seed() and was
+    53% of the fused page kernel's profile. Safe ONLY because every caller
+    in this module fully consumes the returned rng before the next _rng
+    call; never use this where two rngs are live at once (datagen keeps
+    the constructing form for exactly that reason)."""
+    global _RS
+    if _RS is None:
+        import numpy as np
+
+        _RS = np.random.RandomState(0)
+    _RS.seed(_seed(*parts))
+    return _RS
 
 
 # ------------------------------------------------------------------ detection
