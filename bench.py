@@ -88,37 +88,37 @@ RECORDS_SF01 = {
     "bbox6_roundtrip": 0.995,
     "clean_boxes": 1.877,
     "coverage_metric": 2.017,
-    "drop_repeats": 0.223,
+    "drop_repeats": 0.166,
     "edit_distance": 0.589,
-    "embedding_lsh": 3.904,
-    "events_sessionize": 0.412,
+    "embedding_lsh": 3.052,
+    "events_sessionize": 0.366,
     "exact_dedup": 0.324,
-    "extract_pipeline": 5.508,
-    "fuzzy_overlap": 2.449,
-    "heatmap_boxes": 0.368,
-    "html_main": 0.662,
-    "incremental_dedup": 5.552,
+    "extract_pipeline": 3.341,
+    "fuzzy_overlap": 1.972,
+    "heatmap_boxes": 0.312,
+    "html_main": 0.542,
+    "incremental_dedup": 4.437,
     "json_extract": 0.344,
-    "knn_bruteforce": 1.187,
+    "knn_bruteforce": 1.119,
     "knn_ivf": 4.974,
     "minhash_lsh": 3.568,
     "ngram_jaccard": 2.523,
-    "ocr_error_vote": 0.546,
-    "order_priority_window": 0.354,
-    "overlap_pairs": 4.282,
-    "penalized_iou": 2.906,
-    "poly_mask": 0.332,
-    "pricing_summary": 0.305,
-    "reading_order": 1.244,
-    "recognition_input_text": 1.33,
-    "render_check": 0.909,
-    "resize_kernels": 0.374,
-    "simhash_pairs": 1.461,
-    "spanning_cells": 0.82,
-    "text_profile": 1.128,
-    "top_revenue_nations": 0.759,
+    "ocr_error_vote": 0.488,
+    "order_priority_window": 0.34,
+    "overlap_pairs": 4.243,
+    "penalized_iou": 2.302,
+    "poly_mask": 0.261,
+    "pricing_summary": 0.245,
+    "reading_order": 1.045,
+    "recognition_input_text": 0.871,
+    "render_check": 0.747,
+    "resize_kernels": 0.312,
+    "simhash_pairs": 1.443,
+    "spanning_cells": 0.574,
+    "text_profile": 1.02,
+    "top_revenue_nations": 0.725,
     "windowed_events": 0.383,
-    "word_assembly": 1.115,
+    "word_assembly": 0.861,
 }
 
 
