@@ -48,12 +48,77 @@ def _cov(pred: DataFrame, ref: DataFrame, threshold: float,
     )
 
 
+_GRID_MAX = 4096  # grid path applies while max coordinate stays below this
+
+
+def _covered_pairwise(px, rx):
+    """Reference O(|pred|×|ref|) covered-area sweep (the pre-r7 kernel
+    body): per-pred sum of intersection areas with every ref box. Kept as
+    the fallback for non-integer/out-of-range geometry and as the pytest
+    equivalence anchor for the grid path."""
+    import numpy as np
+
+    ix = np.clip(
+        np.minimum(px[:, None, 2], rx[None, :, 2])
+        - np.maximum(px[:, None, 0], rx[None, :, 0]), 0, None)
+    iy = np.clip(
+        np.minimum(px[:, None, 3], rx[None, :, 3])
+        - np.maximum(px[:, None, 1], rx[None, :, 1]), 0, None)
+    return (ix * iy).sum(axis=1)
+
+
+def _covered_grid(px, rx):
+    """O(|pred| + |ref| + G²) covered-area sweep for integer geometry in
+    [0, _GRID_MAX): Σ_r area(p ∩ r) counted on the unit-cell grid. A 2D
+    difference array scatter-adds every ref box, two cumsums turn it into
+    the per-cell cover count, two more give the summed-area table S, and
+    each pred box reads covered = S[x2,y2]−S[x1,y2]−S[x2,y1]+S[x1,y1].
+    All arithmetic is integer (cell counts ≤ |ref|, rectangle sums ≪
+    2^53), so the result is bit-identical to the pairwise float sweep —
+    itself exact on integer boxes regardless of summation order. The
+    pairwise sweep allocates |pred|×|ref| float64 temporaries (~300
+    MB/page at sf1.0 bench densities — 226 s driver-measured for the
+    coverage query); this is O(G²) ≈ 9 MB flat per page."""
+    import numpy as np
+
+    rx1, ry1 = rx[:, 0].astype(np.int64), rx[:, 1].astype(np.int64)
+    # degenerate (zero/negative extent) boxes contribute exactly 0 in the
+    # pairwise sweep; clamping x2/y2 up to x1/y1 makes their four
+    # difference-array entries cancel to the same 0
+    rx2 = np.maximum(rx[:, 2].astype(np.int64), rx1)
+    ry2 = np.maximum(rx[:, 3].astype(np.int64), ry1)
+    w = int(max(rx2.max(initial=0), px[:, 2].max(initial=0))) + 1
+    h = int(max(ry2.max(initial=0), px[:, 3].max(initial=0))) + 1
+    diff = np.zeros((w + 1, h + 1), dtype=np.int64)
+    np.add.at(diff, (rx1, ry1), 1)
+    np.add.at(diff, (rx2, ry1), -1)
+    np.add.at(diff, (rx1, ry2), -1)
+    np.add.at(diff, (rx2, ry2), 1)
+    cover = diff.cumsum(axis=0).cumsum(axis=1)  # count covering cell (x,y)
+    sat = np.zeros((w + 1, h + 1), dtype=np.int64)
+    sat[1:, 1:] = cover[:w, :h].cumsum(axis=0).cumsum(axis=1)
+    px1, py1 = px[:, 0].astype(np.int64), px[:, 1].astype(np.int64)
+    px2 = np.maximum(px[:, 2].astype(np.int64), px1)
+    py2 = np.maximum(px[:, 3].astype(np.int64), py1)
+    covered = (sat[px2, py2] - sat[px1, py2]
+               - sat[px2, py1] + sat[px1, py1])
+    return covered.astype(np.float64)
+
+
 def coverage_per_box_kernel(pred: DataFrame, ref: DataFrame) -> DataFrame:
     """Per-pred-box coverage via a vectorized numpy sweep per key —
     identical math to _cov (all-integer fixture geometry keeps float64
-    sums exact regardless of summation order), ~7× faster than the
-    pairwise join when keys hold >500 boxes. Returns
-    (key, box_id, area, covered)."""
+    sums exact regardless of summation order). Returns
+    (key, box_id, area, covered).
+
+    Strategy per key (r7): when every coordinate is a non-negative
+    integer under _GRID_MAX — always true for the bench's
+    lineitem/orders-derived geometry — covered is computed on a unit-cell
+    count grid in O(|pred|+|ref|+G²) instead of the O(|pred|×|ref|)
+    pairwise sweep, which goes quadratic as boxes-per-page grows with
+    corpus size. The pairwise sweep remains the general-geometry
+    fallback; both paths return bit-identical doubles on integer boxes
+    (pytest-pinned)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -82,13 +147,18 @@ def coverage_per_box_kernel(pred: DataFrame, ref: DataFrame) -> DataFrame:
             covered = np.zeros(len(pdf))
         else:
             rx = rdf[["x1", "y1", "x2", "y2"]].to_numpy(dtype=float)
-            ix = np.clip(
-                np.minimum(px[:, None, 2], rx[None, :, 2])
-                - np.maximum(px[:, None, 0], rx[None, :, 0]), 0, None)
-            iy = np.clip(
-                np.minimum(px[:, None, 3], rx[None, :, 3])
-                - np.maximum(px[:, None, 1], rx[None, :, 1]), 0, None)
-            covered = (ix * iy).sum(axis=1)
+            both = np.concatenate([px.ravel(), rx.ravel()])
+            # grid pays O(G²) regardless of box count — only switch once
+            # the pairwise matrix is decidedly bigger than the grid
+            # (sparse pages stay on the cheaper pairwise sweep; measured
+            # 1.9 s vs 3.7 s at sf0.1 with grid-always)
+            grid_cells = (both.max() + 1) ** 2 if len(both) else 0.0
+            if (len(pdf) * len(rdf) > 2 * grid_cells
+                    and np.all(both == np.floor(both)) and both.min() >= 0
+                    and both.max() < _GRID_MAX):
+                covered = _covered_grid(px, rx)
+            else:
+                covered = _covered_pairwise(px, rx)
         return pd.DataFrame({
             "key": pdf["key"], "box_id": pdf["box_id"],
             "area": area, "covered": covered,

@@ -44,29 +44,58 @@ def _containment_keep(x1, y1, x2, y2, ids, block_elems: int = 8_000_000):
     Memory guard (round-3 verdict #3): the naive n×n boolean matrix is
     ~100 MB at n=10k boxes PER PAGE, ×32 workers → executor OOM on a
     pathological page. Work proceeds in row-blocks of ≤ block_elems
-    matrix cells (~8 MB of bool), so peak memory is O(block·n) while the
-    vectorized O(n²) arithmetic is unchanged; pages under ~2.8k boxes
-    still run as a single block (identical fast path)."""
+    matrix cells (~8 MB of bool), so peak memory is O(block·n).
+
+    r7 pruning: rows and columns are processed in x1-sorted order, and
+    each container block only tests the columns it could possibly
+    contain — a container j of box i needs x1ⱼ ≤ x1ᵢ and
+    x1ᵢ < x2ᵢ ≤ x2ⱼ ≤ x1ⱼ + max_width, so for a block of containers
+    with x1 ∈ [lo_x, hi_x] the candidate columns are exactly those with
+    x1 ∈ [lo_x, hi_x + max_width]. With bench-shaped boxes (width ≤ 124
+    over a 900-px page) that window holds ~15% of the page's boxes, so
+    the per-page work drops ~7× while the evaluated predicate — and
+    therefore the survivor mask — is unchanged."""
     import numpy as np
 
     n = x1.shape[0]
     area = (x2 - x1) * (y2 - y1)
-    contained = np.zeros(n, dtype=bool)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.argsort(x1, kind="stable")
+    sx1, sy1 = x1[order], y1[order]
+    sx2, sy2 = x2[order], y2[order]
+    sids, sarea = ids[order], area[order]
+    wmax = float((sx2 - sx1).max())
+    # the column-window derivation uses x1ᵢ < x2ᵢ, which inverted boxes
+    # (x2 < x1, possibly positive area) violate — fall back to full-width
+    # columns when any exist (never on sane detector output)
+    windowed = not bool((sx2 < sx1).any())
+    contained_s = np.zeros(n, dtype=bool)
     step = max(1, block_elems // max(n, 1))
     for s in range(0, n, step):
         e = min(n, s + step)
-        # rows s:e are candidate CONTAINERS; accumulate which cols they contain
+        # rows s:e are candidate CONTAINERS (x1-sorted); only columns
+        # whose x1 falls in the block's reachable window can be contained
+        if windowed:
+            lo = int(np.searchsorted(sx1, sx1[s], side="left"))
+            hi = int(np.searchsorted(sx1, sx1[e - 1] + wmax, side="right"))
+        else:
+            lo, hi = 0, n
         block = (
-            (x1[s:e, None] <= x1[None, :]) & (y1[s:e, None] <= y1[None, :])
-            & (x2[s:e, None] >= x2[None, :]) & (y2[s:e, None] >= y2[None, :])
-            & (ids[s:e, None] != ids[None, :])
+            (sx1[s:e, None] <= sx1[None, lo:hi])
+            & (sy1[s:e, None] <= sy1[None, lo:hi])
+            & (sx2[s:e, None] >= sx2[None, lo:hi])
+            & (sy2[s:e, None] >= sy2[None, lo:hi])
+            & (sids[s:e, None] != sids[None, lo:hi])
             & (
-                (area[s:e, None] > area[None, :])
-                | ((area[s:e, None] == area[None, :])
-                   & (ids[s:e, None] < ids[None, :]))
+                (sarea[s:e, None] > sarea[None, lo:hi])
+                | ((sarea[s:e, None] == sarea[None, lo:hi])
+                   & (sids[s:e, None] < sids[None, lo:hi]))
             )
         )
-        contained |= block.any(axis=0)
+        contained_s[lo:hi] |= block.any(axis=0)
+    contained = np.zeros(n, dtype=bool)
+    contained[order] = contained_s
     return ~(contained | (area <= 0))
 
 

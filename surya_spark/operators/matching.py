@@ -29,22 +29,31 @@ def greedy_iou_match(pred: DataFrame, ref: DataFrame,
 
     metric: 'iou' (symmetric, the detection benchmark) or 'coverage'
     (intersection / REF-box area — the box1_only=True form the table
-    benchmark's penalized score matches on, metrics.py:12-20)."""
+    benchmark's penalized score matches on, metrics.py:12-20).
+
+    Physical shape (r7): COGROUP pred and ref by key — the former inner
+    join on the bare key materialized |pred|×|ref| rows per page through
+    the shuffle and the Arrow boundary before the kernel deduped them
+    back down (the exact anti-pattern metrics.coverage_per_box_kernel
+    documents; at sf1.0 densities that join alone dominated the query).
+    Cogrouping ships each side once; the kernel sees (pred_rows,
+    ref_rows) directly."""
     p = pred.select("key", F.col("box_id").alias("pred_id"),
                     "x1", "y1", "x2", "y2")
     r = ref.select("key", F.col("box_id").alias("ref_id"),
                    F.col("x1").alias("rx1"), F.col("y1").alias("ry1"),
                    F.col("x2").alias("rx2"), F.col("y2").alias("ry2"))
-    both = p.join(r, "key", "inner")
 
-    def match(pdf: pd.DataFrame) -> pd.DataFrame:
+    def match(pdf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        # inner-join semantics: a key with either side empty matches
+        # nothing (the pre-r7 join produced no rows for it at all)
+        if not len(pdf) or not len(rdf):
+            return pd.DataFrame(columns=[f.name for f in _MATCH_OUT])
         key = pdf["key"].iloc[0]
         preds = pdf[["pred_id", "x1", "y1", "x2", "y2"]].drop_duplicates(
             "pred_id").to_numpy()
-        refs = pdf[["ref_id", "rx1", "ry1", "rx2", "ry2"]].drop_duplicates(
+        refs = rdf[["ref_id", "rx1", "ry1", "rx2", "ry2"]].drop_duplicates(
             "ref_id").to_numpy()
-        if not len(preds) or not len(refs):
-            return pd.DataFrame(columns=[f.name for f in _MATCH_OUT])
         px = preds[:, 1:].astype(float)
         rx = refs[:, 1:].astype(float)
         ix1 = np.maximum(px[:, None, 0], rx[None, :, 0])
@@ -70,12 +79,17 @@ def greedy_iou_match(pred: DataFrame, ref: DataFrame,
         pid = preds[:, 0].astype(np.int64)
         rid = refs[:, 0].astype(np.int64)
         flat = iou.ravel()
-        pi_flat, ri_flat = np.unravel_index(np.arange(flat.size), iou.shape)
-        order = np.lexsort((rid[ri_flat], pid[pi_flat], -flat))
-        for idx in order:
-            pi, ri = int(pi_flat[idx]), int(ri_flat[idx])
-            if iou[pi, ri] <= 0:
-                break
+        # only POSITIVE pairs can ever match (the greedy stops at the
+        # first non-positive score), so sort just those — at bench box
+        # densities ~1.5% of the |P|×|R| matrix is positive, and the
+        # full-matrix lexsort was the kernel's hottest line. (pid, rid)
+        # fully tie-breaks, so the restricted order is exactly the
+        # positive prefix of the old full order.
+        pos = np.flatnonzero(flat > 0)
+        pi_pos, ri_pos = np.unravel_index(pos, iou.shape)
+        order = np.lexsort((rid[ri_pos], pid[pi_pos], -flat[pos]))
+        for oidx in order:
+            pi, ri = int(pi_pos[oidx]), int(ri_pos[oidx])
             if pi in used_p or ri in used_r:
                 continue
             used_p.add(pi)
@@ -84,7 +98,11 @@ def greedy_iou_match(pred: DataFrame, ref: DataFrame,
                         float(iou[pi, ri])))
         return pd.DataFrame(out, columns=[f.name for f in _MATCH_OUT])
 
-    return both.groupBy("key").applyInPandas(match, schema=_MATCH_OUT)
+    return (
+        p.groupBy("key")
+        .cogroup(r.groupBy("key"))
+        .applyInPandas(match, schema=_MATCH_OUT)
+    )
 
 
 _VLINE_OUT = T.StructType([

@@ -298,3 +298,81 @@ def test_penalized_iou_snap_and_penalties(spark):
     assert abs(out["a"]["score"] - 0.5) < 1e-12
     assert out["b"]["score_num_u"] == 0 and out["b"]["denom"] == 2
     assert out["b"]["score"] == 0.0
+
+
+def test_containment_keep_inverted_boxes_fallback():
+    """Inverted boxes (x2 < x1 with positive area) disable the r7
+    x1-sorted column-window pruning — the windowed and full-width paths
+    must agree with brute force on a mix that includes them."""
+    import numpy as np
+
+    from surya_spark.operators.detection import _containment_keep
+
+    rng = np.random.RandomState(11)
+    n = 60
+    x1 = rng.randint(0, 40, n).astype(float)
+    y1 = rng.randint(0, 40, n).astype(float)
+    w = rng.randint(-8, 25, n)   # negatives → inverted/degenerate boxes
+    h = rng.randint(-8, 25, n)
+    x2, y2 = x1 + w, y1 + h
+    ids = rng.permutation(n).astype(np.int64)
+
+    area = (x2 - x1) * (y2 - y1)
+    keep = np.ones(n, dtype=bool)
+    for i in range(n):
+        if area[i] <= 0:
+            keep[i] = False
+            continue
+        for j in range(n):
+            if ids[j] == ids[i]:
+                continue
+            if (x1[j] <= x1[i] and y1[j] <= y1[i]
+                    and x2[j] >= x2[i] and y2[j] >= y2[i]
+                    and (area[j] > area[i]
+                         or (area[j] == area[i] and ids[j] < ids[i]))):
+                keep[i] = False
+                break
+    got = _containment_keep(x1, y1, x2, y2, ids)
+    assert (got == keep).all()
+
+
+def test_coverage_grid_matches_pairwise_kernel():
+    """The r7 unit-cell grid covered-area sweep must be BIT-identical to
+    the pairwise sweep on integer geometry (incl. degenerate boxes), and
+    the public kernel must fall back to pairwise on fractional coords."""
+    import numpy as np
+
+    from surya_spark.functions.metrics import (_covered_grid,
+                                               _covered_pairwise)
+
+    rng = np.random.RandomState(5)
+    for _ in range(10):
+        npred, nref = rng.randint(1, 60), rng.randint(1, 60)
+        def mk(n):
+            a = rng.randint(0, 900, n).astype(float)
+            b = rng.randint(0, 900, n).astype(float)
+            return np.stack(
+                [a, b, a + rng.randint(-3, 150, n),
+                 b + rng.randint(-3, 100, n)], axis=1)
+        px, rx = mk(npred), mk(nref)
+        g, p = _covered_grid(px, rx), _covered_pairwise(px, rx)
+        assert np.array_equal(g, p)
+
+
+def test_coverage_kernel_fractional_fallback(spark):
+    """Fractional coordinates route through the pairwise fallback and
+    still produce the _cov-identical covered sums."""
+    import pandas as pd
+
+    from surya_spark.functions.metrics import coverage_per_box_kernel
+
+    pred = spark.createDataFrame(pd.DataFrame(
+        [("p", 1, 0.5, 0.5, 10.25, 9.75), ("p", 2, 20.0, 0.0, 31.5, 8.5)],
+        columns=["key", "box_id", "x1", "y1", "x2", "y2"]))
+    ref = spark.createDataFrame(pd.DataFrame(
+        [("p", 1.0, 1.0, 9.0, 9.0), ("p", 22.25, 1.0, 30.0, 7.0)],
+        columns=["key", "x1", "y1", "x2", "y2"]))
+    rows = {r["box_id"]: r for r in
+            coverage_per_box_kernel(pred, ref).collect()}
+    assert abs(rows[1]["covered"] - 8.0 * 8.0) < 1e-9
+    assert abs(rows[2]["covered"] - 7.75 * 6.0) < 1e-9

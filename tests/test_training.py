@@ -330,3 +330,34 @@ def test_minhash_novelty_flags_known_dup(spark):
     assert rows[3]["is_novel"] is True and rows[3]["max_est"] < 0.5
     for r in rows.values():
         assert abs(r["max_est"] * 64 - round(r["max_est"] * 64)) < 1e-9
+
+
+def test_knn_ivf_kernel_matches_sql_path(spark):
+    """The r7 cogroup numpy top-k kernel must reproduce the SQL
+    cluster-join scoring BIT-for-bit (left-associated accumulation =
+    identical IEEE op sequence), including rank assignment."""
+    from pyspark.sql import Window
+
+    from surya_spark.plans import caching
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+
+    new = similarity.knn_ivf(emb, cents, k=3, dim=64, nprobe=2) \
+        .orderBy("query_id", "rank").collect()
+    spark.catalog.clearCache()
+
+    probes = caching.managed(similarity.assign_clusters(
+        emb, cents, "vec_id", "embedding", dim=64, nprobe=2))
+    index = probes.filter(F.col("probe_rank") == 1)
+    scored = similarity._cluster_score_sql(
+        probes, index, "vec_id", "embedding", 64)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    old = (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+           .filter(F.col("rank") <= 3)).orderBy("query_id", "rank").collect()
+    spark.catalog.clearCache()
+
+    assert len(new) == len(old) > 0
+    assert new == old
