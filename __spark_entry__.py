@@ -44,7 +44,12 @@ def _boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     # box_id folds in all key columns (a few lineitem rows are exact
     # duplicates in the synthetic data); the trailing dropDuplicates makes
-    # (page_id, box_id) a true key on BOTH engines
+    # (page_id, box_id) a true key on BOTH engines.
+    # r7: repartition on page_id FIRST — hash(page_id) satisfies the
+    # dedup's (page_id, box_id) clustering AND every downstream
+    # window/groupBy/cogroup on page_id, so the whole family runs on ONE
+    # exchange instead of dedup-key + page-key exchanges (and the 6-split
+    # lineitem scan stops bottlenecking the projection).
     return li.select(
         (F.col("l_orderkey") % 500).alias("page_id"),
         (F.col("l_orderkey") * 10_000_000_000
@@ -58,7 +63,7 @@ def _boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("l_suppkey") * 13) % 900 + (F.col("l_suppkey") % 80) + 5)
         .cast("double").alias("y2"),
         (((F.col("l_partkey") % 97) + 1).cast("double") / 97.0).alias("conf"),
-    ).dropDuplicates(["page_id", "box_id"])
+    ).repartition(F.col("page_id")).dropDuplicates(["page_id", "box_id"])
 
 
 _BOXES_SQL = """
@@ -242,12 +247,30 @@ def q_events_tumbling(spark, sf_dir):
 def q_clean_boxes(spark, sf_dir):
     # bench data packs ~1200 boxes/page → use the vectorized per-page
     # containment sweep (same semantics as the anti-join; see
-    # operators/detection.py for when each physical shape wins)
+    # operators/detection.py for when each physical shape wins).
+    # r7: skip _boxes' dropDuplicates exchange — duplicate lineitem rows
+    # yield IDENTICAL (page_id, box_id, coords) rows (coords derive from
+    # the keys folded into box_id), so the kernel's per-page keep-first
+    # dedup is equivalent and the plan keeps ONE exchange (the groupBy)
+    # instead of two; conf is projected away before the shuffle (§2.3).
     from surya_spark.operators.detection import clean_contained_boxes_kernel
 
-    b = _boxes(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        (F.col("l_orderkey") % 500).alias("page_id"),
+        (F.col("l_orderkey") * 10_000_000_000
+         + F.col("l_partkey") * 100_000
+         + F.col("l_suppkey") * 10
+         + F.col("l_linenumber")).alias("box_id"),
+        ((F.col("l_partkey") * 7) % 900).cast("double").alias("x1"),
+        ((F.col("l_suppkey") * 13) % 900).cast("double").alias("y1"),
+        ((F.col("l_partkey") * 7) % 900 + (F.col("l_partkey") % 120) + 5)
+        .cast("double").alias("x2"),
+        ((F.col("l_suppkey") * 13) % 900 + (F.col("l_suppkey") % 80) + 5)
+        .cast("double").alias("y2"),
+    )
     return clean_contained_boxes_kernel(
-        b, key="page_id", id_col="box_id"
+        b, key="page_id", id_col="box_id", dedup_ids=True
     ).select("page_id", "box_id")
 
 
@@ -624,9 +647,12 @@ def q_word_assembly(spark, sf_dir):
     boxes; the oracle replicates the cumulative-space-count word ids and
     min/max bbox fold per word in SQL."""
     from surya_spark.operators import recognition as R
+    from surya_spark.plans import partitioning as PT
 
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.substring("text", 1, 60).alias("t"))
+    # r7: spread before the 60-way char explode (single-row-group scan)
+    d = PT.spread_small_input(
+        _t(spark, sf_dir, "documents"), "doc_id"
+    ).select("doc_id", F.substring("text", 1, 60).alias("t"))
     chars = d.select(
         F.col("doc_id").cast("string").alias("media_ref"),
         F.lit(0).alias("line_idx"),
@@ -870,7 +896,10 @@ def q_ocr_error_vote(spark, sf_dir):
     from surya_spark.operators import ocr_error
 
     d = _t(spark, sf_dir, "documents")
-    labeled = ocr_error.classify_spans(d)
+    # labeled feeds BOTH the vote aggregate and the final join — persist
+    # or the regex classification lineage re-executes per branch (r7;
+    # CLAUDE.md rule 2)
+    labeled = caching.managed(ocr_error.classify_spans(d))
     # vote grouped by source (the "document" grain of this corpus table)
     vote = ocr_error.doc_bad_vote(labeled, doc_col="source")
     return labeled.select("doc_id", "source", "ocr_label").join(

@@ -354,7 +354,8 @@ def clean_contained_quads(lines: DataFrame,
 
 def clean_contained_boxes_kernel(lines: DataFrame,
                                  key: str = "media_ref",
-                                 id_col: str = "line_idx") -> DataFrame:
+                                 id_col: str = "line_idx",
+                                 dedup_ids: bool = False) -> DataFrame:
     """Same semantics as clean_contained_boxes, different physical shape:
     a vectorized numpy containment sweep per page group (applyInPandas).
 
@@ -365,10 +366,19 @@ def clean_contained_boxes_kernel(lines: DataFrame,
     For the extraction pipeline's real pages (tens of lines) the join wins
     — no Python round-trip. Pathological pages are memory-safe: the
     containment matrix is evaluated in bounded row-blocks
-    (_containment_keep)."""
+    (_containment_keep).
+
+    dedup_ids=True drops duplicate (key, id_col) rows INSIDE the kernel
+    (pandas keep-first) — equivalent to a dropDuplicates([key, id_col])
+    upstream when duplicate ids carry identical rows (exact-duplicate
+    source rows, e.g. lineitem's), but without the extra full-table
+    exchange the upstream distinct would cost: the groupBy(key) shuffle
+    the kernel already pays is the only one left in the plan (r7)."""
     cols = lines.columns
 
     def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        if dedup_ids:
+            pdf = pdf.drop_duplicates(subset=[id_col])
         keep = _containment_keep(
             pdf["x1"].to_numpy(), pdf["y1"].to_numpy(),
             pdf["x2"].to_numpy(), pdf["y2"].to_numpy(),

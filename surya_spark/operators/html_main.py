@@ -45,7 +45,12 @@ def html_blocks(docs: DataFrame, html_col: str = "html",
     per DOM block. Link text is everything inside <a> anchors within the
     block; density = link chars / text chars (1.0 for empty blocks so they
     never pass the filter)."""
-    ex = docs.select(
+    from ..plans import partitioning
+
+    # r7: block split + per-block regex cleaning over a single-row-group
+    # corpus file would run on one scan task — spread first (no-op when
+    # the input is already well partitioned)
+    ex = partitioning.spread_small_input(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(html_col), BLOCK_TAG_RE))
         .alias("block_idx", "raw"),

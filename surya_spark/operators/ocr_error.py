@@ -43,11 +43,16 @@ def classify_spans(span_rows: DataFrame, text_col: str = "text",
     /root/reference/surya/ocr_error/tokenizer.py — ~500 LoC of
     DistilBERT tokenization that lives inside its model wrapper, not in
     its relational surface; same boundary here)."""
+    from ..plans import partitioning
+
     label = (
         model_udf(F.col(text_col)) if model_udf is not None
         else heuristic_label(F.col(text_col))
     )
-    return span_rows.withColumn("ocr_label", label)
+    # r7: regex/model labeling is per-row heavy — spread single-row-group
+    # corpus scans across the cluster first (no-op at deployment scale)
+    return partitioning.spread_small_input(span_rows).withColumn(
+        "ocr_label", label)
 
 
 def doc_bad_vote(labeled: DataFrame, doc_col: str = "doc_id",

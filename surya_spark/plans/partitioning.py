@@ -70,3 +70,30 @@ def two_phase_agg(df: DataFrame, key: str, cost_col: str, child: str,
         agg = F.sum(src) if how in ("sum", "count") else getattr(F, how)(src)
         final_aggs.append(agg.alias(f"{c}_{how}"))
     return partial.groupBy(key).agg(*final_aggs)
+
+
+def spread_small_input(df: DataFrame, *key_cols: str,
+                       min_ratio: float = 0.5) -> DataFrame:
+    """Repartition a SMALL input so heavy per-row expressions downstream
+    (regex normalization, wide projections, Python kernels) use the whole
+    cluster instead of the scan's split count.
+
+    Why: parquet scans parallelize at row-group granularity — a
+    single-row-group file is a ONE-task scan no matter how many cores
+    exist, and Catalyst evaluates every downstream narrow projection
+    inside that task (measured: the dedup family's normalize+tokenize ran
+    on 2 of 32 cores at sf1.0, 5.2 s of pure serial regex). Scale-aware:
+    a no-op whenever the input already has ≥ min_ratio × defaultParallelism
+    partitions — a 100 TB table with thousands of splits is never
+    reshuffled, so this costs nothing on the deployment path.
+
+    With key_cols, hash-repartitions on them (spark.sql.shuffle.partitions
+    many) so a downstream window/groupBy/cogroup on the same key reuses
+    the exchange (no second shuffle); without, round-robin."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(1, int(target * min_ratio)):
+        return df
+    if key_cols:
+        return df.repartition(*[F.col(c) for c in key_cols])
+    return df.repartition(target)

@@ -56,31 +56,46 @@ def shingle_id_rows(docs: DataFrame, text_col: str = "text",
     TX.shingles/shingle_ids semantics exactly.
 
     hashed='xxhash64' (fast JVM path) or 'md5' (md5_id60 of the
-    space-joined shingle string — bit-replicable by the DuckDB oracle)."""
-    base = docs.select(
+    space-joined shingle string — bit-replicable by the DuckDB oracle).
+
+    r7 physical cleanups, same rows out:
+    * the input is spread across the cluster BEFORE the regex
+      normalization (single-row-group corpus files scan as ONE task, and
+      the normalize chain was measured running serially — 5.2 s of the
+      family's ~15 s at sf1.0); the repartition is on doc_id so the
+      shingle window reuses the same exchange;
+    * short docs (< k tokens) explode their whole joined text as the one
+      "token" instead of carrying the joined text ON EVERY exploded row
+      (xxhash64/concat_ws skip NULL lead args, so the single-row branch
+      hashes to exactly the old md5_id60(joined)/xxhash64(joined)) —
+      that column was ~8× the shuffle bytes of the window exchange."""
+    from ..plans import partitioning
+
+    base = partitioning.spread_small_input(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         *[F.col(c) for c in extra_cols],
         TX.tokenize_ws(TX.normalize_text(F.col(text_col))).alias("toks"),
     )
+    nt = F.size("toks")
+    explodable = (
+        F.when(nt >= k, F.col("toks"))
+        .when(nt >= 1, F.array(F.array_join("toks", " ")))
+        .otherwise(F.col("toks"))  # empty array → no rows, as before
+    )
     ex = base.select(
         "doc_id", *extra_cols,
-        F.size("toks").alias("nt"),
-        F.array_join("toks", " ").alias("joined"),
-        F.posexplode("toks").alias("pos", "tok"),
+        nt.alias("nt"),
+        F.posexplode(explodable).alias("pos", "tok"),
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.lead("tok", j).over(w) for j in range(1, k)]
     if hashed == "md5":
-        sid = F.when(
-            F.col("nt") >= k, md5_id60(F.concat_ws(" ", F.col("tok"), *leads))
-        ).otherwise(md5_id60(F.col("joined")))
+        # NULL leads (short-doc single row) vanish from concat_ws →
+        # md5_id60 of the joined text, exactly the old short-doc branch
+        sid = md5_id60(F.concat_ws(" ", F.col("tok"), *leads))
     else:
-        sid = F.when(
-            F.col("nt") >= k, F.xxhash64(F.col("tok"), *leads)
-        ).otherwise(F.xxhash64(F.col("joined")))
-    keep = ((F.col("nt") >= k) & (F.col("pos") <= F.col("nt") - k)) | (
-        (F.col("nt") < k) & (F.col("pos") == 0)
-    )
+        sid = F.xxhash64(F.col("tok"), *leads)
+    keep = (F.col("nt") < k) | (F.col("pos") <= F.col("nt") - k)
     return (
         ex.withColumn("s", sid)
         .filter(keep)
@@ -117,10 +132,12 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     Only pairs that SHARE a shingle are ever materialized — the
     all-pairs-within-block array-intersection variant degrades
     quadratically with block size, while this shape scales with shingle
-    co-occurrence. Shingles travel as hashed 64-bit ids (shingle_ids) and
-    each side's set size rides along the exploded rows, so the whole
-    operator is one self-join + one groupBy — no extra size joins, no
-    string shuffles. The shuffle key is (block, shingle id).
+    co-occurrence. Shingles travel as hashed 64-bit ids (shingle_ids);
+    per-doc set sizes attach at PAIR grain after the co-occurrence
+    aggregate (r7 — keeping them on the exploded rows forced an extra
+    doc_id window shuffle of the whole index between the df-cap window
+    and the self-join). The shuffle key is (block, shingle id), and the
+    self-join reuses the df-cap window's exchange.
 
     df_cap bounds hot-shingle skew: a shingle present in more than df_cap
     docs within a block (a stop-shingle like "the the of") would make the
@@ -130,6 +147,15 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     exact Jaccard over the capped shingle universe (a well-defined,
     oracle-replicable semantic, not an approximation of the uncapped one).
     Worst-case join fan-out per (block, shingle) key is then df_cap²."""
+    with caching.scope() as (handles, is_owner):
+        return caching.owned(
+            _ngram_jaccard_body(docs, text_col, id_col, block_col, k,
+                                threshold, df_cap),
+            handles, is_owner)
+
+
+def _ngram_jaccard_body(docs, text_col, id_col, block_col, k, threshold,
+                        df_cap):
     rows = shingle_id_rows(docs, text_col, id_col, k,
                            extra_cols=(block_col,))
     if df_cap is not None:
@@ -139,10 +165,16 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
             .filter(F.col("_df") <= df_cap)
             .drop("_df")
         )
-    ex = rows.withColumn(
-        "n",
-        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).cast("double"),
-    ).withColumnRenamed(block_col, "block")
+    # r7 plan shape: the df window leaves the index hash-partitioned on
+    # (block, s) — exactly the self-join key — so the join consumes that
+    # one exchange (ReusedExchange on both sides). The pre-r7 per-doc
+    # set-size WINDOW between them re-shuffled the whole index to doc_id
+    # and back; set sizes now attach at PAIR grain (two small joins on an
+    # aggregate ~50k-row table), the _jaccard_over_candidates shape. The
+    # capped index feeds three consumers → persist (CLAUDE.md rule 2).
+    ex = caching.managed(rows.withColumnRenamed(block_col, "block"))
+    n = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(
@@ -155,15 +187,20 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .agg(
-            F.count(F.lit(1)).cast("double").alias("n_inter"),
-            F.first(F.col("a.n")).alias("n_a"),
-            F.first(F.col("b.n")).alias("n_b"),
-        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n_inter"))
+    )
+    withn = (
+        inter
+        .join(n.select(F.col("doc_id").alias("doc_a"),
+                       F.col("n").alias("n_a")).hint("shuffle_hash"),
+              "doc_a")
+        .join(n.select(F.col("doc_id").alias("doc_b"),
+                       F.col("n").alias("n_b")).hint("shuffle_hash"),
+              "doc_b")
     )
     union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
     jac = F.when(union > 0, F.col("n_inter") / union).otherwise(F.lit(0.0))
-    return inter.select(
+    return withn.select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
 
@@ -338,7 +375,12 @@ def simhash(docs: DataFrame, text_col: str = "text",
     if hash_mode == "xxhash64":
         if bits != 64:
             raise ValueError("xxhash64 mode emits 64-bit signatures")
-        norm = docs.select(
+        from ..plans import partitioning
+
+        # spread BEFORE the regex normalization: single-row-group corpus
+        # files scan as one task (r7; see shingle_id_rows) — keyed on the
+        # doc id so the vote groupBy reuses the exchange
+        norm = partitioning.spread_small_input(docs, id_col).select(
             F.col(id_col).cast("long").alias("doc_id"),
             TX.normalize_text(F.col(text_col)).alias("_t"))
         # empty tokens (blank doc → split yields ['']) hash to NULL and
@@ -354,17 +396,20 @@ def simhash(docs: DataFrame, text_col: str = "text",
         )
         # each vote/pack expression is ONE SQL string (late-round-1 rule:
         # composing hundreds of Column objects through py4j is driver
-        # time; F.expr parses to the same plan with the same semantics)
-        votes = th.groupBy("doc_id").agg(*[
-            F.expr(
-                f"sum(CASE WHEN th IS NULL THEN 0 "
-                f"WHEN (shiftright(th, {k}) & 1) = 1 THEN 1 "
-                f"ELSE -1 END)"
-            ).alias(f"v{k}")
-            for k in range(bits)
-        ])
+        # time; F.expr parses to the same plan with the same semantics).
+        # r7: vote v_k = (+1 per set bit, −1 per clear bit over non-null
+        # tokens) = 2·ones_k − n, so the per-row agg update is a bare
+        # shift-and-mask sum plus ONE shared count instead of 64
+        # three-branch CASEs; sum() skips NULL th (empty-token rows)
+        # exactly like the old CASE's 0 arm. Sign rule v_k > 0 becomes
+        # 2·ones_k > n — identical packs.
+        votes = th.groupBy("doc_id").agg(
+            F.expr("count(th)").alias("n_tok"),
+            *[F.expr(f"sum(shiftright(th, {k}) & 1)").alias(f"o{k}")
+              for k in range(bits)])
         pack = " + ".join(
-            f"(CASE WHEN v{k} > 0 THEN shiftleft(CAST(1 AS BIGINT), {k}) "
+            f"(CASE WHEN 2 * o{k} > n_tok THEN "
+            f"shiftleft(CAST(1 AS BIGINT), {k}) "
             f"ELSE CAST(0 AS BIGINT) END)"
             for k in range(bits)
         )
@@ -375,15 +420,30 @@ def simhash(docs: DataFrame, text_col: str = "text",
 
     import hashlib
 
-    docs = docs.select(
+    from ..plans import partitioning
+
+    # r7: spread before the Python kernel — the md5 signature ran on the
+    # corpus file's TWO scan partitions (9 s of the bench query at sf1.0
+    # was this kernel on 2 of 32 workers)
+    docs = partitioning.spread_small_input(docs, id_col).select(
         F.col(id_col), TX.normalize_text(F.col(text_col)).alias(text_col))
 
-    def _tok_hash(t: str) -> int:
-        # process-independent 64-bit token hash (python hash() varies by
-        # PYTHONHASHSEED — never use it in a distributed job)
-        return int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
-
     def run(batches):
+        # token-hash memo (r7): md5 is deterministic, and corpus
+        # vocabulary is tiny relative to token instances — one md5 per
+        # DISTINCT token per task instead of one per occurrence
+        memo: dict[str, int] = {}
+
+        def _tok_hash(t: str) -> int:
+            # process-independent 64-bit token hash (python hash() varies
+            # by PYTHONHASHSEED — never use it in a distributed job)
+            h = memo.get(t)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.md5(t.encode()).digest()[:8], "little")
+                memo[t] = h
+            return h
+
         for pdf in batches:
             ids, hashes = [], []
             for did, txt in zip(pdf[id_col], pdf[text_col]):

@@ -92,12 +92,19 @@ def knn_bruteforce(vectors: DataFrame, queries: DataFrame, k: int = 5,
     driver-collect the rule exists to prevent — use knn_ivf instead.
     The 'cross join' is then a map-side nested loop with no shuffle of
     the big side; ranking is one window per query id."""
+    from ..plans import partitioning
+
     q = with_norm(
         queries.select(F.col(query_id), F.col(vec_col).alias("q_vec")),
         "q_vec", "q_n", dim)
+    # r7: the map-side nested loop evaluates |Q| dot expressions per
+    # vector row — on a single-row-group embeddings file that ran on 2 of
+    # 32 cores (5.9 s at sf1.0); spread first (no-op on real partitioned
+    # inputs)
     v = with_norm(
-        vectors.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).alias("v_vec")),
+        partitioning.spread_small_input(vectors).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("v_vec")),
         "v_vec", "v_n", dim)
     d = F.col("q_n") * F.col("v_n")
     cos = F.when(d > 0, dot("q_vec", "v_vec", dim) / d) \
@@ -126,10 +133,17 @@ def assign_clusters(vectors: DataFrame, centroids: DataFrame,
     candidate set). Output carries (cluster, probe_rank, c_cos) — rank 1
     is the primary assignment used to index a vector; ranks 2..nprobe are
     the extra probes a *query* visits (standard IVF nprobe recall lever)."""
+    from ..plans import partitioning
+
     c = with_norm(
         centroids.select(F.col(cent_id), F.col(vec_col).alias("c_vec")),
         "c_vec", "c_n", dim)
-    vv = with_norm(vectors.select(id_col, vec_col), vec_col, "v_n", dim)
+    # r7: spread on the vector id BEFORE the per-vector×centroid dot
+    # expressions (single-row-group scans are one task); the probe_rank
+    # window partitions by the same id and reuses this exchange
+    vv = with_norm(
+        partitioning.spread_small_input(vectors, id_col)
+        .select(id_col, vec_col), vec_col, "v_n", dim)
     d = F.col("v_n") * F.col("c_n")
     cos = F.when(d > 0, dot(vec_col, "c_vec", dim) / d) \
         .otherwise(F.lit(0.0))
@@ -460,6 +474,12 @@ def embedding_lsh_pairs(vectors: DataFrame, threshold: float = 0.8,
 
 def _embedding_lsh_body(vectors, threshold, bands, per_band, bit_cols,
                         id_col, vec_col, dim):
+    from ..plans import partitioning
+
+    # single-row-group embedding files scan as 1-2 tasks; the interpreted
+    # 32×~50-term sign projection (and the norm projection below) must
+    # not run serially — spread once, reuse for both consumers (r7)
+    vectors = partitioning.spread_small_input(vectors, id_col)
     bitted = caching.managed(vectors.select(F.col(id_col), *bit_cols))
     band_cols = [
         F.concat(*[F.col(f"b{b * per_band + j}") for j in range(per_band)])
@@ -487,11 +507,55 @@ def _embedding_lsh_body(vectors, threshold, bands, per_band, bit_cols,
                       F.col(vec_col).alias("va"), F.col("_n").alias("na"))
     vb = withn.select(F.col(id_col).alias("id_b"),
                       F.col(vec_col).alias("vb"), F.col("_n").alias("nb"))
-    d = F.col("na") * F.col("nb")
-    cos = F.when(d > 0, dot("va", "vb", dim) / d) \
-        .otherwise(F.lit(0.0))
+    paired = cand.join(va, "id_a").join(vb, "id_b")
+    # per-pair cosine as a vectorized Arrow kernel: the 64-term per-row
+    # SQL dot over millions of candidate pairs was the query's dominant
+    # cost (11.6 of 17 s at sf1.0). The kernel accumulates LEFT-ASSOCIATED
+    # per element — the identical IEEE op sequence as dot(va, vb, dim) —
+    # and reuses the SQL-computed norms, so the doubles are bit-equal
+    # (pytest-pinned); round+threshold stay in SQL.
+    scored = _pair_cosine_kernel(paired, "va", "vb", "na", "nb", dim)
     return (
-        cand.join(va, "id_a").join(vb, "id_b")
-        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        scored.select("id_a", "id_b",
+                      F.round(F.col("cosine_raw"), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def _pair_cosine_kernel(paired: DataFrame, va: str, vb: str,
+                        na: str, nb: str, dim: int) -> DataFrame:
+    """(…, id_a, id_b, va, vb, na, nb) → (id_a, id_b, cosine_raw), the
+    cosine computed batchwise in numpy with left-associated accumulation
+    (bit-equal to the dot()/norm-product SQL expression)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        paired.schema["id_a"],
+        paired.schema["id_b"],
+        T.StructField("cosine_raw", T.DoubleType(), False),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {f.name: pd.Series([], dtype=object)
+                     for f in out_schema})
+                continue
+            A = np.stack(pdf[va].to_numpy()).astype(np.float64)
+            B = np.stack(pdf[vb].to_numpy()).astype(np.float64)
+            acc = A[:, 0] * B[:, 0]
+            for d in range(1, dim):
+                acc = acc + A[:, d] * B[:, d]
+            den = pdf[na].to_numpy() * pdf[nb].to_numpy()
+            cos = np.divide(acc, den, out=np.zeros_like(acc),
+                            where=den > 0)
+            yield pd.DataFrame({
+                "id_a": pdf["id_a"], "id_b": pdf["id_b"],
+                "cosine_raw": cos,
+            })
+
+    return paired.select("id_a", "id_b", va, vb, na, nb).mapInPandas(
+        run, schema=out_schema)

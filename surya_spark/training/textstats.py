@@ -14,7 +14,13 @@ def text_profile(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Per-doc: whitespace tokens, BPE-ish tokens, detected language,
     quality score, fingerprint."""
+    from ..plans import partitioning
+
     t = F.col(text_col)
+    # r7: the profile's regex chains are heavy per-row work, and corpus
+    # files with one row group scan as ONE task — spread first (no-op on
+    # well-partitioned inputs; see partitioning.spread_small_input)
+    docs = partitioning.spread_small_input(docs, id_col)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         TX.token_count(t).alias("n_tokens"),
@@ -33,7 +39,9 @@ def corpus_language_rollup(docs: DataFrame, text_col: str = "text") -> DataFrame
     reference's user-visible language-metadata surface."""
     from surya_spark.functions.languages import language_name_col
 
-    prof = docs.select(
+    from ..plans import partitioning
+
+    prof = partitioning.spread_small_input(docs).select(
         TX.lang_id(F.col(text_col)).alias("lang_pred"),
         TX.quality_score(F.col(text_col)).alias("quality"),
         TX.token_count(F.col(text_col)).alias("n_tokens"),
