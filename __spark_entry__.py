@@ -270,7 +270,8 @@ def q_clean_boxes(spark, sf_dir):
         .cast("double").alias("y2"),
     )
     return clean_contained_boxes_kernel(
-        b, key="page_id", id_col="box_id", dedup_ids=True
+        b, key="page_id", id_col="box_id", dedup_ids=True,
+        output_cols=["page_id", "box_id"],
     ).select("page_id", "box_id")
 
 

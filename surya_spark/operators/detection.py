@@ -355,7 +355,9 @@ def clean_contained_quads(lines: DataFrame,
 def clean_contained_boxes_kernel(lines: DataFrame,
                                  key: str = "media_ref",
                                  id_col: str = "line_idx",
-                                 dedup_ids: bool = False) -> DataFrame:
+                                 dedup_ids: bool = False,
+                                 output_cols: list[str] | None = None
+                                 ) -> DataFrame:
     """Same semantics as clean_contained_boxes, different physical shape:
     a vectorized numpy containment sweep per page group (applyInPandas).
 
@@ -373,8 +375,14 @@ def clean_contained_boxes_kernel(lines: DataFrame,
     upstream when duplicate ids carry identical rows (exact-duplicate
     source rows, e.g. lineitem's), but without the extra full-table
     exchange the upstream distinct would cost: the groupBy(key) shuffle
-    the kernel already pays is the only one left in the plan (r7)."""
-    cols = lines.columns
+    the kernel already pays is the only one left in the plan (r7).
+
+    output_cols trims the kernel's RETURN columns (callers that only
+    need survivor keys skip shipping the geometry back through Arrow —
+    r7; the survivor set is decided inside the kernel either way)."""
+    cols = output_cols or lines.columns
+    out_schema = (T.StructType([lines.schema[c] for c in cols])
+                  if output_cols else lines.schema)
 
     def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
         if dedup_ids:
@@ -384,9 +392,9 @@ def clean_contained_boxes_kernel(lines: DataFrame,
             pdf["x2"].to_numpy(), pdf["y2"].to_numpy(),
             pdf[id_col].to_numpy(),
         )
-        return pdf.loc[keep]
+        return pdf.loc[keep, cols]
 
-    return lines.groupBy(key).applyInPandas(sweep, schema=lines.schema).select(cols)
+    return lines.groupBy(key).applyInPandas(sweep, schema=out_schema).select(cols)
 
 
 def expand_and_normalize(lines: DataFrame, y_pct: float = 0.05) -> DataFrame:

@@ -158,11 +158,17 @@ def encode_crop(desc: dict, bbox: list[float],
     kept = []
     for ln in desc["lines"]:
         lx1, ly1, lx2, ly2 = ln["bbox"]
-        area = max(1e-9, (lx2 - lx1) * (ly2 - ly1))
+        area = (lx2 - lx1) * (ly2 - ly1)
+        if area < 1e-9:
+            area = 1e-9
         if not masked:
-            ix = max(0.0, min(lx2, cx2) - max(lx1, cx1))
-            iy = max(0.0, min(ly2, cy2) - max(ly1, cy1))
-            visible = ix * iy
+            # conditional expressions instead of max()/min() builtins:
+            # this loop runs per (crop, line) in the flagship's fused
+            # kernel and the builtin-call overhead was visible in its
+            # profile (r7); identical float arithmetic
+            ix = (lx2 if lx2 < cx2 else cx2) - (lx1 if lx1 > cx1 else cx1)
+            iy = (ly2 if ly2 < cy2 else cy2) - (ly1 if ly1 > cy1 else cy1)
+            visible = ix * iy if (ix > 0.0 and iy > 0.0) else 0.0
         else:
             import math
 
@@ -177,7 +183,14 @@ def encode_crop(desc: dict, bbox: list[float],
                 "text": ln["text"],
             })
     payload = {"crop": [0.0, 0.0, cx2 - cx1, cy2 - cy1], "lines": kept}
-    return CROP_MAGIC + zlib.compress(json.dumps(payload, sort_keys=True).encode())
+    # insertion order IS sorted order for every dict here ("crop"<"lines",
+    # "bbox"<"text"), so dropping sort_keys produces byte-identical JSON
+    # without the per-key sort; level-1 deflate halves the kernel's
+    # compression time (blob bytes differ from level-6 but every
+    # producer/consumer pair — fused and relational alike — shares this
+    # one encoder, and no oracle hashes crop blobs) (r7, profiled)
+    return CROP_MAGIC + zlib.compress(
+        json.dumps(payload).encode(), 1)
 
 
 def decode_crop(blob: bytes) -> dict:

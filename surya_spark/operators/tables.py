@@ -198,10 +198,15 @@ def table_crop_rows(ref: str, w: int, h: int, blob: bytes,
     ]
     if not tboxes:
         return [], desc_out
-    # same full sort key as the relational table_crops window
-    # (y1, x1, emit_idx) — tie-deterministic across paths
-    tboxes.sort(key=lambda r: (r["y1"], r["x1"],
-                               r.get("emit_idx", 0)))
+    # same full sort key as the relational table_crops window:
+    # (y1, x1, emit_idx), falling back to (y1, x1, x2, y2) when records
+    # carry no emit_idx — the SAME fallback the relational window uses,
+    # so the fusion-parity contract stays total on emit_idx-less inputs
+    # (r7, advisor finding)
+    if tboxes and "emit_idx" in tboxes[0]:
+        tboxes.sort(key=lambda r: (r["y1"], r["x1"], r["emit_idx"]))
+    else:
+        tboxes.sort(key=lambda r: (r["y1"], r["x1"], r["x2"], r["y2"]))
     if desc_out is None:
         desc_out = decode_page(blob)
     rows = []

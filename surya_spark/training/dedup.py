@@ -371,7 +371,13 @@ def simhash(docs: DataFrame, text_col: str = "text",
     shingle_id_rows/minhash (HTML/math stripped, bullets standardized,
     whitespace collapsed, lowercased) — one documented normalization for
     every dedup operator; normalization always runs as JVM column
-    expressions."""
+    expressions.
+
+    COMPATIBILITY: the round-6 default flip to 'xxhash64' changed the
+    signature VALUES for default callers — signatures persisted by
+    earlier md5-mode runs are incompatible with newly computed xxhash64
+    ones. Pipelines that store signatures and re-join them across
+    versions must pin hash_mode explicitly (advisor finding)."""
     if hash_mode == "xxhash64":
         if bits != 64:
             raise ValueError("xxhash64 mode emits 64-bit signatures")
@@ -379,9 +385,21 @@ def simhash(docs: DataFrame, text_col: str = "text",
 
         # spread BEFORE the regex normalization: single-row-group corpus
         # files scan as one task (r7; see shingle_id_rows) — keyed on the
-        # doc id so the vote groupBy reuses the exchange
+        # doc id so the vote groupBy reuses the exchange.
+        # The cast mirrors the md5 kernel's int(did): a NON-numeric id
+        # must fail loudly (advisor finding — a silently-NULL cast would
+        # collapse all such docs into one NULL signature group).
+        # try_cast + raise_error gives the same loud failure whether or
+        # not ANSI mode is on (ANSI's own CAST_INVALID_INPUT would fire
+        # first under the default config, with a less specific message).
+        did = F.col(id_col).try_cast("long")
         norm = partitioning.spread_small_input(docs, id_col).select(
-            F.col(id_col).cast("long").alias("doc_id"),
+            F.when(
+                F.col(id_col).isNotNull() & did.isNull(),
+                F.raise_error(F.concat(
+                    F.lit("simhash: non-numeric doc id "),
+                    F.col(id_col).cast("string"))).cast("long"),
+            ).otherwise(did).alias("doc_id"),
             TX.normalize_text(F.col(text_col)).alias("_t"))
         # empty tokens (blank doc → split yields ['']) hash to NULL and
         # vote 0 on every bit, so token-less docs still reach the groupBy

@@ -450,43 +450,81 @@ def embedding_lsh_pairs(vectors: DataFrame, threshold: float = 0.8,
     anywhere."""
     planes = random_hyperplanes(n_planes, dim, seed)
     per_band = n_planes // bands
-    # expressions built as SQL strings: composing ~1600 Column objects
-    # through py4j cost 12.8 s of DRIVER time per call (measured) vs one
-    # parse per plane here; the parsed plan and float semantics are
-    # identical (left-associated addition, zero terms skipped)
-    bit_cols = []
-    for p, w in enumerate(planes):
-        terms = " + ".join(
-            f"CAST(element_at({vec_col}, {i}) AS DOUBLE) * {float(wi)}"
-            for i, wi in enumerate(w, start=1) if wi)
-        bit_cols.append(F.expr(
-            f"CASE WHEN ({terms}) > 0 THEN '1' ELSE '0' END").alias(f"b{p}"))
-    # the 32×~50-term sign projection exceeds the 64 KB codegen method
-    # limit (interpreted fallback) AND feeds both sides of the band
-    # self-join — persist the tiny (id, bits) table so the expensive
-    # projection runs exactly once; released on the result's first action
     with caching.scope() as (handles, is_owner):
         return caching.owned(
             _embedding_lsh_body(vectors, threshold, bands, per_band,
-                                bit_cols, id_col, vec_col, dim),
+                                planes, id_col, vec_col, dim),
             handles, is_owner)
 
 
-def _embedding_lsh_body(vectors, threshold, bands, per_band, bit_cols,
+def _banded_signs_kernel(vectors: DataFrame, id_col: str, vec_col: str,
+                         planes: list[list[int]], bands: int,
+                         per_band: int) -> DataFrame:
+    """(id, band, bucket) rows: per-band sign-bit bucket strings from the
+    random-hyperplane projection, computed batchwise in numpy.
+
+    The pre-r7 form evaluated 32 ~50-term SQL sum expressions per row —
+    past the codegen method limit, so INTERPRETED (~2.5 s of the query at
+    sf1.0 even spread across the cluster). The kernel accumulates each
+    plane's sum left-associated over its NONZERO coefficients in index
+    order — the identical IEEE sequence as the old `t1 + t2 + …` F.expr
+    (zero terms skipped there too) — so every sign bit, bucket string and
+    candidate pair is unchanged (oracle-pinned)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        vectors.schema[id_col],
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("bucket", T.StringType(), False),
+    ])
+    nonzero = [[(i, float(wi)) for i, wi in enumerate(w) if wi]
+               for w in planes]
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {f.name: pd.Series([], dtype=object)
+                     for f in out_schema})
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            bits = np.zeros((n, len(nonzero)), dtype=bool)
+            for p, nz in enumerate(nonzero):
+                i0, w0 = nz[0]
+                acc = V[:, i0] * w0
+                for i, wi in nz[1:]:
+                    acc = acc + V[:, i] * wi
+                bits[:, p] = acc > 0
+            chars = np.where(bits, "1", "0")
+            ids = pdf[id_col]
+            frames = []
+            for b in range(len(nonzero) // per_band):
+                seg = chars[:, b * per_band:(b + 1) * per_band]
+                frames.append(pd.DataFrame({
+                    id_col: ids, "band": b,
+                    "bucket": ["".join(r) for r in seg],
+                }))
+            yield pd.concat(frames, ignore_index=True)
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        run, schema=out_schema)
+
+
+def _embedding_lsh_body(vectors, threshold, bands, per_band, planes,
                         id_col, vec_col, dim):
     from ..plans import partitioning
 
-    # single-row-group embedding files scan as 1-2 tasks; the interpreted
-    # 32×~50-term sign projection (and the norm projection below) must
-    # not run serially — spread once, reuse for both consumers (r7)
+    # single-row-group embedding files scan as 1-2 tasks; the sign
+    # projection (and the norm projection below) must not run serially —
+    # spread once, reuse for both consumers (r7)
     vectors = partitioning.spread_small_input(vectors, id_col)
-    bitted = caching.managed(vectors.select(F.col(id_col), *bit_cols))
-    band_cols = [
-        F.concat(*[F.col(f"b{b * per_band + j}") for j in range(per_band)])
-        for b in range(bands)
-    ]
-    banded = bitted.select(
-        id_col, F.posexplode(F.array(*band_cols)).alias("band", "bucket"))
+    # banded feeds both sides of the self-join — persist the tiny
+    # (id, band, bucket) table so the projection runs exactly once
+    banded = caching.managed(_banded_signs_kernel(
+        vectors, id_col, vec_col, planes, bands, per_band))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

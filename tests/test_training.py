@@ -361,3 +361,16 @@ def test_knn_ivf_kernel_matches_sql_path(spark):
 
     assert len(new) == len(old) > 0
     assert new == old
+
+
+def test_simhash_nonnumeric_id_raises(spark):
+    """xxhash64-mode simhash must fail loudly on non-numeric doc ids
+    (advisor finding: a silently-NULL cast would collapse such docs into
+    one NULL signature group; the md5 kernel's int(did) already raises)."""
+    import pandas as pd
+    import pytest
+
+    bad = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": ["a1", "b2"], "text": ["x y", "z w"]}))
+    with pytest.raises(Exception, match="non-numeric doc id|CAST_INVALID"):
+        dedup.simhash(bad).collect()
