@@ -56,10 +56,20 @@ _ALL_CROPS = T.StructType([
 def fused_all_crops(pages: DataFrame,
                     detect_slot: Callable = None,
                     layout_slot: Callable = slots.surrogate_layout,
-                    band: float | None = None) -> DataFrame:
+                    band: float | None = None,
+                    highres: bool = False) -> DataFrame:
     """pages → tagged union of recognition crops (crop_kind='line', the
     rows fused_page_crops emits) and table crops (crop_kind='table', the
-    rows fused_table_crops emits), one decode per page."""
+    rows fused_table_crops emits), one decode per page.
+
+    highres=True (r7, VERDICT r06 #3): `pages` must additionally carry
+    (hr_bytes, hr_width, hr_height) — the 2× render equi-joined on
+    media_ref BEFORE this pass. Line crops are then encoded from the
+    highres blob with reference int-truncation rescaling
+    (page_crop_rows' dual-DPI path); detection, layout and table crops
+    stay on the lowres blob exactly like the relational highres branch.
+    This is what lets pipeline.extract's dual-DPI path run the fused
+    single-pass plan with NO page-blob persist."""
     from ..datagen import BAND as _BAND
 
     if detect_slot is None:
@@ -69,16 +79,30 @@ def fused_all_crops(pages: DataFrame,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for ref, w, h, blob in zip(
+            hb = pdf["hr_bytes"] if highres else [None] * len(pdf)
+            hw = pdf["hr_width"] if highres else [0] * len(pdf)
+            hh = pdf["hr_height"] if highres else [0] * len(pdf)
+            for ref, w, h, blob, hrb, hrw, hrh in zip(
                 pdf["media_ref"], pdf["width"], pdf["height"],
-                pdf["img_bytes"],
+                pdf["img_bytes"], hb, hw, hh,
             ):
                 w, h = int(w), int(h)
                 blob = bytes(blob)
-                line_rows, desc = recognition.page_crop_rows(
-                    ref, w, h, blob, detect_slot, band_v)
-                t_rows, desc = tables.table_crop_rows(
-                    ref, w, h, blob, layout_slot, desc=desc)
+                if highres:
+                    # same scale expression as slice_crops' SQL:
+                    # double(hr)/double(lo)
+                    scale = (float(hrw) / float(w), float(hrh) / float(h))
+                    line_rows, desc = recognition.page_crop_rows(
+                        ref, w, h, blob, detect_slot, band_v,
+                        hr_blob=bytes(hrb), hr_scale=scale)
+                else:
+                    line_rows, desc = recognition.page_crop_rows(
+                        ref, w, h, blob, detect_slot, band_v)
+                if layout_slot is None:  # caller skips the table family
+                    t_rows = []
+                else:
+                    t_rows, desc = tables.table_crop_rows(
+                        ref, w, h, blob, layout_slot, desc=desc)
                 for r in line_rows:
                     rows.append({
                         "media_ref": r["media_ref"], "crop_kind": "line",

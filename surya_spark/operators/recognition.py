@@ -233,7 +233,9 @@ def fused_page_crops(pages: DataFrame,
 
 def page_crop_rows(ref: str, w: int, h: int, blob: bytes,
                    detect_slot: Callable, band_v: float,
-                   desc=None) -> tuple[list[dict], object]:
+                   desc=None, hr_blob: bytes | None = None,
+                   hr_scale: tuple[float, float] | None = None
+                   ) -> tuple[list[dict], object]:
     """Per-page kernel of fused_page_crops (detect slot → fused
     post-process → column-aware order → crop encode). ONE implementation
     shared by fused_page_crops and the combined single-decode pass
@@ -244,7 +246,17 @@ def page_crop_rows(ref: str, w: int, h: int, blob: bytes,
     caller running several page-grain kernels hands the returned desc to
     the next kernel and the blob is zlib-decoded at most once per page.
     desc stays None when no line survives post-processing (the decode is
-    lazy — pages with no text never pay it)."""
+    lazy — pages with no text never pay it).
+
+    hr_blob + hr_scale=(ws, hs) select the dual-DPI path (r7, VERDICT
+    r06 #3): detection runs on the LOWRES blob as always, crops are
+    encoded from the HIGHRES descriptor with bbox and polygon rescaled
+    by int() truncation per the reference
+    (/root/reference/surya/recognition/__init__.py:158-170,
+    surya/common/polygon.py rescale) — exactly slice_crops'
+    highres kernel — and rows carry (res_x, res_y) = (ws, hs) while the
+    output bbox columns stay in lowres space. The LOWRES desc is never
+    decoded here on that path (the table kernel decodes it if needed)."""
     import math
 
     from . import detection as _det
@@ -274,20 +286,35 @@ def page_crop_rows(ref: str, w: int, h: int, blob: bytes,
         math.floor(r["y1"] / band_v),
         r["x1"], r["y1"], r["line_idx"],
     ))
-    if desc is None:
-        desc = decode_page(blob)
+    if hr_blob is None:
+        if desc is None:
+            desc = decode_page(blob)
+        enc_desc = desc
+        ws = hs = 1.0
+    else:
+        enc_desc = decode_page(hr_blob)
+        ws, hs = float(hr_scale[0]), float(hr_scale[1])
     rows = []
     for pos, r in enumerate(page_rows, start=1):
-        bbox = [r["x1"], r["y1"], r["x2"], r["y2"]]
+        if hr_blob is None:
+            bbox = [r["x1"], r["y1"], r["x2"], r["y2"]]
+            poly = r["polygon"]
+        else:
+            # int() truncation is the reference contract (slice_crops'
+            # highres kernel does the identical rescale)
+            bbox = [float(int(r["x1"] * ws)), float(int(r["y1"] * hs)),
+                    float(int(r["x2"] * ws)), float(int(r["y2"] * hs))]
+            poly = ([[float(int(p[0] * ws)), float(int(p[1] * hs))]
+                     for p in r["polygon"]]
+                    if r["polygon"] is not None else None)
         rows.append({
             "media_ref": ref,
             "line_idx": int(r["line_idx"]),
             "position": pos,
             "x1": r["x1"], "y1": r["y1"],
             "x2": r["x2"], "y2": r["y2"],
-            "crop_bytes": slots.encode_crop(
-                desc, bbox, r["polygon"]),
-            "res_x": 1.0, "res_y": 1.0,
+            "crop_bytes": slots.encode_crop(enc_desc, bbox, poly),
+            "res_x": ws, "res_y": hs,
         })
     return rows, desc
 

@@ -157,25 +157,37 @@ def extract(
                 # Single consumer of pages: no persist needed.
                 crops = recognition.fused_page_crops(pages, detect_slot)
         else:
-            # highres path: detection/layout read the lowres blob;
+            # highres path (r7, VERDICT r06 #3): both blob tables are
+            # equi-joined on media_ref BEFORE the combined pass —
+            # detection/layout/table crops read the lowres blob,
             # recognition crops come from the 2x render with polygons
-            # rescaled (ref recognition/__init__.py:158-170,
-            # scripts/config.py:36-42) — needs the relational slice join
-            # against the second blob table. pages feeds 2–3 consumers
-            # here, so the persist stays.
-            if persist:
-                pages = caching.managed(pages)
-            lines = detection.detection_stage(pages, detect_slot)
-            ordered = reading_order.order_lines(lines)
-            hp = pages_for(documents, highres_blobs)
-            crops = recognition.slice_crops(
-                ordered.select("media_ref", "line_idx", "position",
-                               "x1", "y1", "x2", "y2", "polygon"),
-                pages,
-                highres_pages=hp,
+            # int-rescaled (ref recognition/__init__.py:158-170,
+            # scripts/config.py:36-42). The dual-DPI deployment path now
+            # runs the same fused single-decode plan as the default: one
+            # consumer of pages, so raw page blobs are NEVER persisted
+            # (pre-r7 this branch pinned full pages — the pipeline's
+            # largest cache footprint). Byte-equality with the relational
+            # highres chain is pytest-pinned (test_fused_all).
+            hp = pages_for(documents, highres_blobs,
+                           partitions=par if persist else None)
+            paired = pages.join(
+                hp.select(
+                    "media_ref",
+                    F.col("img_bytes").alias("hr_bytes"),
+                    F.col("width").alias("hr_width"),
+                    F.col("height").alias("hr_height"),
+                ).hint("shuffle_hash"),
+                "media_ref",
             )
+            allc = fused.fused_all_crops(
+                paired, detect_slot,
+                layout_slot if with_tables else None,
+                highres=True)
+            if persist:
+                allc = caching.managed(allc)
+            crops = fused.line_crops(allc)
             if with_tables:
-                crops_t = tables.fused_table_crops(pages, layout_slot)
+                crops_t = fused.table_crops(allc)
         # chars pruned inside the UDF unless requested: span assembly never
         # reads them and they are the pipeline's single largest Python/Arrow
         # cost (see recognition.recognize docstring)
@@ -210,7 +222,17 @@ def checkpointed_extract(
     parquet with lineage (plans/checkpoint.py); a killed run re-invoked
     with the same base_dir skips committed bucket groups. Stage grain
     matches SURVEY.md §7.0 #4: checkpoint after every inference stage,
-    relational glue stays lazy."""
+    relational glue stays lazy.
+
+    r7 (VERDICT r06 #2): the default path now checkpoints the SAME plan
+    the flagship runs — pages → fused_all_crops (the tagged crop union,
+    one decode per page) → recognize / table stage → assemble — instead
+    of the pre-fusion relational chain, so resume-mode no longer re-pays
+    the two line-table exchanges and the multi-consumer page decode the
+    round-5/6 fusions deleted. Bucket grain (media_ref) is unchanged.
+    The dual-DPI path (highres_blobs) keeps the relational slice join it
+    needs to read crops from the 2× render."""
+    from .operators import fused
     from .plans.checkpoint import CheckpointRunner
 
     runner = CheckpointRunner(spark, base_dir, n_buckets, n_groups)
@@ -219,13 +241,30 @@ def checkpointed_extract(
         "pages", lambda: pages_for(documents, page_blobs),
         bucket_key="media_ref", max_groups=max_groups,
     )
+    if highres_blobs is None:
+        allc = runner.stage(
+            "all_crops", lambda: fused.fused_all_crops(pages),
+            bucket_key="media_ref", max_groups=max_groups,
+        )
+        ocr_lines = runner.stage(
+            "ocr_lines",
+            lambda: recognition.recognize(fused.line_crops(allc),
+                                          emit_chars=False),
+            bucket_key="media_ref", max_groups=max_groups,
+        )
+        cells = runner.stage(
+            "cells",
+            lambda: tables.table_stage_from_crops(fused.table_crops(allc),
+                                                  ocr_lines),
+            bucket_key="media_ref", max_groups=max_groups,
+        )
+        return assemble.assemble_spans(documents, ocr_lines, cells)
     ordered = runner.stage(
         "lines",
         lambda: reading_order.order_lines(detection.detection_stage(pages)),
         bucket_key="media_ref", max_groups=max_groups,
     )
-    hp = (pages_for(documents, highres_blobs)
-          if highres_blobs is not None else None)
+    hp = pages_for(documents, highres_blobs)
     ocr_lines = runner.stage(
         "ocr_lines",
         lambda: recognition.recognize(

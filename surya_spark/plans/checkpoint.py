@@ -58,12 +58,24 @@ class CheckpointRunner:
 
     def _record(self, stage: str, group: int, bucket_rows: dict[int, int],
                 wall_ms: int, error: str | None = None) -> None:
+        import pandas as pd
+
         now = time.time()
-        pdf = [
-            (stage, int(b), int(n), int(wall_ms), float(now),
-             int(group), error)
-            for b, n in bucket_rows.items()
-        ]
+        # r7: build the lineage rows via pandas → Arrow, NOT a Python
+        # list. createDataFrame(list) parallelizes pickled objects and
+        # every action on that frame cost a flat ~4 s in this runtime
+        # (measured; 16 lineage appends = 66 of the 91 s fresh
+        # checkpointed run). The pandas path materializes the same rows
+        # through Arrow in ~0.04 s.
+        pdf = pd.DataFrame({
+            "stage": [stage] * len(bucket_rows),
+            "bucket": [int(b) for b in bucket_rows],
+            "rows": [int(n) for n in bucket_rows.values()],
+            "wall_ms": [int(wall_ms)] * len(bucket_rows),
+            "ts": [float(now)] * len(bucket_rows),
+            "grp": [int(group)] * len(bucket_rows),
+            "error": [error] * len(bucket_rows),
+        })
         (
             self.spark.createDataFrame(
                 pdf,
@@ -97,6 +109,29 @@ class CheckpointRunner:
             .cast("int"),
         )
 
+        # r7: the group loop filters ONE build() DataFrame per group —
+        # unpersisted, Spark re-executed the entire stage lineage (page
+        # decodes, Python kernels and all) once PER GROUP, keeping 1/n of
+        # each pass (measured: a fresh 4-group checkpointed run cost ~16
+        # full-stage computations — 81 s vs the flagship's 2.7 s on the
+        # same 4k docs). Persisting for the duration of the loop makes a
+        # fresh run ≈ one compute + the writes, while kill-mid-run still
+        # keeps every group committed so far (CLAUDE.md rule 2 applied to
+        # the resume path — VERDICT r06 #2). Skipped when ≤1 group
+        # remains (nothing to share).
+        remaining = [
+            g for g in range(self.n_groups)
+            if not all(b in done
+                       for b in range(g * (self.n_buckets // self.n_groups),
+                                      (g + 1) * (self.n_buckets
+                                                 // self.n_groups)))
+        ]
+        if max_groups is not None:
+            remaining = remaining[:max_groups]
+        pinned = len(remaining) > 1
+        if pinned:
+            df = df.persist()
+
         # dynamic partition overwrite → group retries are idempotent
         conf_key = "spark.sql.sources.partitionOverwriteMode"
         old = self.spark.conf.get(conf_key, "static")
@@ -113,10 +148,13 @@ class CheckpointRunner:
                 part = df.filter(F.col("_bucket").isin(buckets))
                 part.write.mode("overwrite").partitionBy("_bucket").parquet(out)
                 wall_ms = int((time.time() - t0) * 1000)
+                # r7: count from the (persisted) source of the write just
+                # committed, not a parquet read-back of the output dir —
+                # same rows by construction, one cached aggregate instead
+                # of a fresh file-listing + scan per group
                 counts = {
                     r["_bucket"]: r["n"]
-                    for r in self.spark.read.parquet(out)
-                    .filter(F.col("_bucket").isin(buckets))
+                    for r in part
                     .groupBy("_bucket").agg(F.count(F.lit(1)).alias("n"))
                     .collect()
                 }
@@ -125,6 +163,8 @@ class CheckpointRunner:
                 self._record(name, g, counts, wall_ms)
         finally:
             self.spark.conf.set(conf_key, old)
+            if pinned:
+                df.unpersist()
         return self.spark.read.parquet(out).drop("_bucket")
 
     # ---------------------------------------------------------------- metrics

@@ -70,3 +70,62 @@ def test_extract_spans_match_across_paths(spark):
             ).collect()
         }
     assert combined == relational and len(combined) == n
+
+
+def test_fused_highres_byte_identical_to_relational(spark):
+    """r7 (VERDICT r06 #3): the dual-DPI combined pass — both blob tables
+    joined on media_ref, line crops encoded from the 2× render with
+    reference int-truncation rescaling — must emit line crops
+    BYTE-identical to the relational highres chain (detection_stage →
+    order_lines → slice_crops(highres_pages=…)) and table crops
+    byte-identical to the lowres fused table pass."""
+    from pyspark.sql import functions as F
+
+    from surya_spark.operators import detection, reading_order
+
+    n = 24
+    docs = datagen.gen_documents(spark, n, partitions=2)
+    blobs = datagen.gen_page_blobs(spark, n, partitions=2)
+    hi = datagen.gen_page_blobs(spark, n, partitions=2, scale=2.0)
+    pages = pipeline.pages_for(docs, blobs).persist()
+    hp = pipeline.pages_for(docs, hi).persist()
+
+    paired = pages.join(
+        hp.select("media_ref",
+                  F.col("img_bytes").alias("hr_bytes"),
+                  F.col("width").alias("hr_width"),
+                  F.col("height").alias("hr_height")),
+        "media_ref")
+    allc = fused.fused_all_crops(paired, highres=True).persist()
+
+    ordered = reading_order.order_lines(detection.detection_stage(pages))
+    rel = recognition.slice_crops(
+        ordered.select("media_ref", "line_idx", "position",
+                       "x1", "y1", "x2", "y2", "polygon"),
+        pages, highres_pages=hp)
+
+    fused_lines = _line_rows(fused.line_crops(allc))
+    assert fused_lines == _line_rows(rel)
+    assert len(fused_lines) > 0
+    assert all(t[-2] == 2.0 and t[-1] == 2.0 for t in fused_lines)
+    assert _table_rows(fused.table_crops(allc)) == _table_rows(
+        tables.fused_table_crops(pages))
+    allc.unpersist(); pages.unpersist(); hp.unpersist()
+
+
+def test_extract_highres_no_page_blob_persist(spark):
+    """r7: the dual-DPI extract runs the fused plan — NO InMemoryRelation
+    may hold raw page blobs (img_bytes/hr_bytes); only the tagged crop
+    union persists. (The pre-r7 highres branch pinned full pages — the
+    pipeline's largest cache footprint.)"""
+    n = 12
+    docs = datagen.gen_documents(spark, n, partitions=2)
+    blobs = datagen.gen_page_blobs(spark, n, partitions=2)
+    hi = datagen.gen_page_blobs(spark, n, partitions=2, scale=2.0)
+    out = pipeline.extract(docs, blobs, with_tables=True, highres_blobs=hi)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    chunks = plan.split("InMemoryRelation")
+    assert len(chunks) > 1, "expected the crop-union persist"
+    for chunk in chunks[1:]:
+        cols = chunk.split("\n", 1)[0]
+        assert "img_bytes" not in cols and "hr_bytes" not in cols, cols

@@ -190,3 +190,23 @@ def test_debug_and_render_sinks_no_driver_broadcasts(spark):
         if "Exchange" in ln and "img_bytes" in ln
     ]
     assert render_blob_exchanges == [], render_blob_exchanges
+
+
+def test_extract_no_page_blob_persist(spark):
+    """Round-6 fourth-fusion property, gated (r7; VERDICT r06 #4): the
+    default extract plan persists ONLY the tagged crop union — no
+    InMemoryRelation may hold raw page blobs (img_bytes). Re-persisting
+    pages would reinstate the pipeline's largest cache footprint."""
+    from surya_spark import datagen, pipeline
+
+    docs = datagen.gen_documents(spark, 12, partitions=2)
+    blobs = datagen.gen_page_blobs(spark, 12, partitions=2)
+    out = pipeline.extract(docs, blobs, with_tables=True)
+    plan = _plan(out)
+    im_chunks = plan.split("InMemoryRelation")
+    assert len(im_chunks) > 1, "expected the crop-union persist"
+    # every InMemoryRelation's column list must be blob-free pages-wise:
+    # crop_bytes (the fused crop union) is the one allowed payload
+    for chunk in im_chunks[1:]:
+        cols = chunk.split("\n", 1)[0]
+        assert "img_bytes" not in cols, cols
